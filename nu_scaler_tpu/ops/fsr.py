@@ -1,0 +1,129 @@
+"""FSR-style EASU + RCAS upscaling, TPU-native.
+
+Rebuilds the reference's FSR1-style WGSL pair (`nu_scaler_core/src/upscale/
+fsr.rs:24-260`, behind the off-by-default `fsr3` feature) as jitted JAX: the
+"tech=fsr" tier of the benchmark grid and `create_fsr_upscaler` — which the
+reference left returning NotImplementedError — actually work here.
+
+EASU: edge-direction-weighted 4×4 cubic resample. The 16 taps have static
+offsets from a per-output base index, so each tap is one clamped gather that
+XLA fuses with the cubic-weight math; everything stays VPU element-wise with
+no host round trips. RCAS: 3×3 contrast-adaptive Laplacian sharpen.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nu_scaler_tpu.kernels.reference import FSR_SHARPNESS  # re-export
+
+__all__ = ["easu", "rcas", "fsr_upscale", "make_fsr_upscaler", "FSR_SHARPNESS"]
+
+
+def _fsr_cubic(d: jax.Array) -> jax.Array:
+    """FsrCubic (fsr.rs:75-85)."""
+    d2 = d * d
+    d3 = d2 * d
+    return jnp.where(
+        d <= 1.0,
+        2.0 - 1.5 * d - 0.5 * d3 + d2,
+        jnp.where(d <= 2.0, -0.5 * d + 2.5 * d2 - d3, 0.0),
+    )
+
+
+def easu(img_u8: jax.Array, out_h: int, out_w: int, sharpness: float) -> jax.Array:
+    """Edge Adaptive Spatial Upsampling (FSR_EASU_SHADER, fsr.rs:103-166)."""
+    in_h, in_w = img_u8.shape[-3], img_u8.shape[-2]
+    rgb = img_u8[..., :3].astype(jnp.float32) * (1.0 / 255.0)
+
+    def fetch(py, px):
+        return rgb[jnp.clip(py, 0, in_h - 1), jnp.clip(px, 0, in_w - 1)]
+
+    ox = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * (in_w / out_w)
+    oy = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) * (in_h / out_h)
+    oxg = jnp.broadcast_to(ox[None, :], (out_h, out_w))
+    oyg = jnp.broadcast_to(oy[:, None], (out_h, out_w))
+    base_x = oxg.astype(jnp.int32) - 1
+    base_y = oyg.astype(jnp.int32) - 1
+    fr_x = oxg - jnp.floor(oxg)
+    fr_y = oyg - jnp.floor(oyg)
+
+    cx = oxg.astype(jnp.int32)
+    cy = oyg.astype(jnp.int32)
+    up = fetch(cy - 1, cx)
+    dn = fetch(cy + 1, cx)
+    lf = fetch(cy, cx - 1)
+    rt = fetch(cy, cx + 1)
+    vgx = jnp.abs(up - dn).sum(axis=-1) / 3.0
+    vgy = jnp.abs(lf - rt).sum(axis=-1) / 3.0
+    norm = jnp.sqrt((vgx + 1e-4) ** 2 + (vgy + 1e-4) ** 2)
+    dirx = (vgx + 1e-4) / norm
+    diry = (vgy + 1e-4) / norm
+    wx = jnp.abs(dirx) / (jnp.abs(dirx) + jnp.abs(diry))
+    wy = 1.0 - wx
+
+    sum_c = jnp.zeros((out_h, out_w, 3), jnp.float32)
+    sum_w = jnp.zeros((out_h, out_w), jnp.float32)
+    for ty in range(4):
+        for tx in range(4):
+            dist = jnp.abs((tx - fr_x) * wx + (ty - fr_y) * wy)
+            wgt = _fsr_cubic(dist)
+            sum_c = sum_c + fetch(base_y + ty, base_x + tx) * wgt[..., None]
+            sum_w = sum_w + wgt
+    color = sum_c / jnp.maximum(sum_w, 1e-4)[..., None]
+    if sharpness > 1e-3:
+        center = fetch(cy, cx)
+        color = color + (center - color) * jnp.float32(sharpness)
+    rgb_u8 = jnp.trunc(jnp.clip(color, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+    alpha = jnp.full((out_h, out_w, 1), 255, jnp.uint8)
+    return jnp.concatenate([rgb_u8, alpha], axis=-1)
+
+
+def rcas(img_u8: jax.Array, sharpness: float) -> jax.Array:
+    """Robust Contrast Adaptive Sharpening (FSR_RCAS_SHADER, fsr.rs:215-259)."""
+    h, w = img_u8.shape[-3], img_u8.shape[-2]
+    rgb = img_u8[..., :3].astype(jnp.float32) * (1.0 / 255.0)
+    ys = jnp.arange(h)
+    xs = jnp.arange(w)
+
+    def shift(dy, dx):
+        out = jnp.take(rgb, jnp.clip(ys + dy, 0, h - 1), axis=-3)
+        return jnp.take(out, jnp.clip(xs + dx, 0, w - 1), axis=-2)
+
+    center = rgb
+    top = shift(-1, 0)
+    bottom = shift(1, 0)
+    left = shift(0, -1)
+    right = shift(0, 1)
+    lw = jnp.array([0.299, 0.587, 0.114], jnp.float32)
+    lums = [x @ lw for x in (center, top, bottom, left, right)]
+    min_l = functools.reduce(jnp.minimum, lums)
+    max_l = functools.reduce(jnp.maximum, lums)
+    t = jnp.clip((max_l - min_l) / 0.2, 0.0, 1.0)
+    smooth = t * t * (3.0 - 2.0 * t)
+    strength = sharpness * (1.0 - smooth)
+    lap = 4.0 * center - top - bottom - left - right
+    result = center + lap * strength[..., None]
+    rgb_u8 = jnp.trunc(jnp.clip(result, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+    alpha = jnp.full((h, w, 1), 255, jnp.uint8)
+    return jnp.concatenate([rgb_u8, alpha], axis=-1)
+
+
+def fsr_upscale(img_u8: jax.Array, out_h: int, out_w: int, quality: str = "quality") -> jax.Array:
+    """EASU upscale + RCAS sharpen, the full FSR1-style pipeline."""
+    sharp = FSR_SHARPNESS.get((quality or "").lower(), FSR_SHARPNESS["quality"])
+    return rcas(easu(img_u8, out_h, out_w, sharp), sharp)
+
+
+@functools.lru_cache(maxsize=64)
+def make_fsr_upscaler(in_h: int, in_w: int, out_h: int, out_w: int, quality: str):
+    sharp = FSR_SHARPNESS.get((quality or "").lower(), FSR_SHARPNESS["quality"])
+
+    def fn(img):
+        return rcas(easu(img, out_h, out_w, sharp), sharp)
+
+    return jax.jit(fn)

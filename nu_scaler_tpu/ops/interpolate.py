@@ -1,0 +1,332 @@
+"""TPU-native optical-flow frame interpolation.
+
+Rebuilds the full pipeline of the reference `WgpuFrameInterpolator`
+(`nu_scaler_core/src/wgpu_interpolator.rs:501-1366` + `src/shaders/*.wgsl`):
+
+    Gaussian pyramid  →  coarse Horn–Schunck flow  →  hierarchical residual
+    refinement  →  motion-compensated warp/blend.
+
+The reference *shipped* only the zero-flow warp/blend (its refinement WGSL
+never compiled — SURVEY §3.2); we implement both the shipped behavior
+(``mode="blend"``, the default, byte-parity with interpolate_py) and the full
+designed flow path (``mode="flow"``).
+
+TPU mapping
+-----------
+* Pyramid blur/downsample: separable 1-4-6-4-1 taps as padded rolls — XLA
+  fuses these into a handful of VPU passes over VMEM-resident tiles.
+* Horn–Schunck Jacobi iterations: `lax.fori_loop` with a fused step (3×3 flow
+  box filter + gradients + update); iterations stay on-device, no host sync,
+  replacing the reference's one-dispatch-per-iteration ping-pong
+  (wgpu_interpolator.rs:1102-1203).
+* Warp/blend: bilinear gather at flow-displaced coordinates.
+* Everything is shape-specialized and jit-cached; batched via leading dims.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Defaults chosen to match the reference's Rust-side test constants
+# (wgpu_interpolator.rs: lambda/alpha uniforms; HS lambda 0.1 is its smoothness
+# weight; iteration counts follow its COARSE_ITERATIONS-style constants).
+DEFAULT_LAMBDA = 0.1
+DEFAULT_ALPHA = 0.1
+DEFAULT_COARSE_ITERS = 32
+DEFAULT_REFINE_ITERS = 4
+DEFAULT_PYRAMID_LEVELS = 4
+
+
+def _clamp_take(arr: jax.Array, idx: jax.Array, axis: int) -> jax.Array:
+    return jnp.take(arr, jnp.clip(idx, 0, arr.shape[axis] - 1), axis=axis)
+
+
+# ---------------------------------------------------------------------------
+# Pyramid
+# ---------------------------------------------------------------------------
+
+
+def gaussian_blur(img: jax.Array) -> jax.Array:
+    """Separable 5-tap 1-4-6-4-1/16 blur, clamp-to-edge
+    (gaussian_blur_h.wgsl:18-51 + the V pass)."""
+    w = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0], dtype=img.dtype) / 16.0
+    h_, w_ = img.shape[-3], img.shape[-2]
+    xs = jnp.arange(w_)
+    out = sum(w[k] * _clamp_take(img, xs + (k - 2), axis=-2) for k in range(5))
+    ys = jnp.arange(h_)
+    out = sum(w[k] * _clamp_take(out, ys + (k - 2), axis=-3) for k in range(5))
+    return out
+
+
+def downsample2x(img: jax.Array) -> jax.Array:
+    """2×2 average to floor(size/2) (downsample.wgsl:28-37)."""
+    h, w = img.shape[-3], img.shape[-2]
+    oh, ow = h // 2, w // 2
+    v = img[..., : oh * 2, : ow * 2, :]
+    lead = v.shape[:-3]
+    v = v.reshape(*lead, oh, 2, ow, 2, v.shape[-1])
+    return v.mean(axis=(-2, -4))
+
+
+def luminance(rgba: jax.Array) -> jax.Array:
+    """mean(RGB) * 0.33333 (horn_schunck.wgsl:18-21)."""
+    return (rgba[..., 0] + rgba[..., 1] + rgba[..., 2]) * jnp.asarray(0.33333, rgba.dtype)
+
+
+def build_pyramid(img_f: jax.Array, levels: int) -> list[jax.Array]:
+    """Gaussian pyramid: level 0 = full res; each next = blur → 2× downsample
+    (build_pyramid, wgpu_interpolator.rs:969-1100). Returns `levels` arrays."""
+    pyr = [img_f]
+    for _ in range(levels - 1):
+        pyr.append(downsample2x(gaussian_blur(pyr[-1])))
+    return pyr
+
+
+# ---------------------------------------------------------------------------
+# Horn–Schunck
+# ---------------------------------------------------------------------------
+
+
+def _box3_avg(flow: jax.Array) -> jax.Array:
+    """3×3 clamped box average (incl. center), horn_schunck.wgsl:27-50."""
+    h, w = flow.shape[-3], flow.shape[-2]
+    ys = jnp.arange(h)
+    xs = jnp.arange(w)
+    rows = sum(_clamp_take(flow, ys + d, axis=-3) for d in (-1, 0, 1))
+    total = sum(_clamp_take(rows, xs + d, axis=-2) for d in (-1, 0, 1))
+    return total / 9.0
+
+
+def _gradients(lum: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Central differences with the WGSL's clamped indexing
+    (horn_schunck.wgsl:61-72): x±1 clamped to [0, size-1]."""
+    h, w = lum.shape[-2], lum.shape[-1]
+    xs = jnp.arange(w)
+    ys = jnp.arange(h)
+    ix = (_clamp_take(lum, xs + 1, axis=-1) - _clamp_take(lum, xs - 1, axis=-1)) * 0.5
+    iy = (_clamp_take(lum, ys + 1, axis=-2) - _clamp_take(lum, ys - 1, axis=-2)) * 0.5
+    return ix, iy
+
+
+def horn_schunck(
+    lum1: jax.Array,
+    lum2: jax.Array,
+    flow0: jax.Array,
+    iters: int,
+    lam: float = DEFAULT_LAMBDA,
+) -> jax.Array:
+    """`iters` Jacobi iterations of the coarse HS update
+    (horn_schunck.wgsl:52-91) fused into one on-device loop.
+
+    Gradients/It are loop-invariant (they depend only on the images), so they
+    are hoisted out of the `fori_loop` — the per-iteration work is just the box
+    filter + the rational update, all VPU element-wise.
+    """
+    ix, iy = _gradients(lum1)
+    it = lum2 - lum1
+    denom = lam + ix * ix + iy * iy
+
+    def step(_, flow):
+        avg = _box3_avg(flow)
+        common = (ix * avg[..., 0] + iy * avg[..., 1] + it) / denom
+        return jnp.stack((avg[..., 0] - common * ix, avg[..., 1] - common * iy), axis=-1)
+
+    return jax.lax.fori_loop(0, iters, step, flow0)
+
+
+def flow_upsample(flow: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """Bilinear upsample of a flow field via normalized-UV sampling
+    (flow_upsample.wgsl:25-35). Does NOT rescale the vectors — parity with the
+    reference, which also leaves magnitudes unscaled; the caller applies the
+    ×2 magnitude scaling (`upsample_scale`)."""
+    in_h, in_w = flow.shape[-3], flow.shape[-2]
+    fx = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * (in_w / out_w) - 0.5
+    fy = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) * (in_h / out_h) - 0.5
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    dx = (fx - x0)[:, None]
+    dy = (fy - y0)[:, None, None]
+    r0 = _clamp_take(flow, y0, axis=-3)
+    r1 = _clamp_take(flow, y0 + 1, axis=-3)
+    c00 = _clamp_take(r0, x0, axis=-2)
+    c10 = _clamp_take(r0, x0 + 1, axis=-2)
+    c01 = _clamp_take(r1, x0, axis=-2)
+    c11 = _clamp_take(r1, x0 + 1, axis=-2)
+    c0 = c00 + dx * (c10 - c00)
+    c1 = c01 + dx * (c11 - c01)
+    return c0 + dy * (c1 - c0)
+
+
+def flow_refine(
+    lum1: jax.Array,
+    lum2: jax.Array,
+    flow: jax.Array,
+    iters: int,
+    alpha: float = DEFAULT_ALPHA,
+) -> jax.Array:
+    """Residual HS refinement at one pyramid level — the behavior
+    flow_refine.wgsl:101-137 intended (never compiled in the reference).
+
+    It warps I2 by the current flow (integer-truncated sample, per the WGSL's
+    `vec2<u32>(clamp(...))`), so It must be recomputed every iteration — kept
+    inside the loop, unlike the coarse pass.
+    """
+    h, w = lum1.shape[-2], lum1.shape[-1]
+    ix, iy = _gradients(lum1)
+    den = alpha * alpha + ix * ix + iy * iy
+    gx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    gy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = jnp.arange(w)
+    ys = jnp.arange(h)
+
+    def step(_, f):
+        wx = jnp.clip(gx + f[..., 0], 0, w - 1).astype(jnp.int32)
+        wy = jnp.clip(gy + f[..., 1], 0, h - 1).astype(jnp.int32)
+        it = lum2[wy, wx] - lum1
+        num = ix * f[..., 0] + iy * f[..., 1] + it
+        scale = jnp.where(jnp.abs(den) > 1e-6, num / den, 0.0)
+        lap_rows = _clamp_take(f, ys + 1, axis=-3) + _clamp_take(f, ys - 1, axis=-3)
+        lap_cols = _clamp_take(f, xs + 1, axis=-2) + _clamp_take(f, xs - 1, axis=-2)
+        lap = (lap_rows + lap_cols) * 0.25 - f
+        upd = jnp.stack((scale * ix, scale * iy), axis=-1)
+        return f - upd + alpha * lap
+
+    return jax.lax.fori_loop(0, iters, step, flow)
+
+
+# ---------------------------------------------------------------------------
+# Warp / blend
+# ---------------------------------------------------------------------------
+
+
+def _sample_bilinear(img_f: jax.Array, xs: jax.Array, ys: jax.Array) -> jax.Array:
+    """Bilinear clamp-to-edge sample at continuous texel coords (centers at
+    k+0.5) — wgpu sampler semantics for warp_blend.wgsl:40-41."""
+    h, w = img_f.shape[-3], img_f.shape[-2]
+    fx = xs - 0.5
+    fy = ys - 0.5
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    dx = (fx - x0)[..., None]
+    dy = (fy - y0)[..., None]
+    x0c = jnp.clip(x0, 0, w - 1)
+    x1c = jnp.clip(x0 + 1, 0, w - 1)
+    y0c = jnp.clip(y0, 0, h - 1)
+    y1c = jnp.clip(y0 + 1, 0, h - 1)
+    c00 = img_f[y0c, x0c]
+    c10 = img_f[y0c, x1c]
+    c01 = img_f[y1c, x0c]
+    c11 = img_f[y1c, x1c]
+    c0 = c00 + dx * (c10 - c00)
+    c1 = c01 + dx * (c11 - c01)
+    return c0 + dy * (c1 - c0)
+
+
+def warp_blend(
+    frame_a: jax.Array, frame_b: jax.Array, flow: jax.Array, time_t: float | jax.Array
+) -> jax.Array:
+    """Motion-compensated blend (warp_blend.wgsl:29-46); u8 in → u8 out
+    (rgba8unorm round packing)."""
+    h, w = frame_a.shape[-3], frame_a.shape[-2]
+    a = frame_a.astype(jnp.float32) * (1.0 / 255.0)
+    b = frame_b.astype(jnp.float32) * (1.0 / 255.0)
+    gx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5
+    gy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5
+    t = jnp.asarray(time_t, jnp.float32)
+    c0 = _sample_bilinear(a, gx - t * flow[..., 0], gy - t * flow[..., 1])
+    c1 = _sample_bilinear(b, gx + (1.0 - t) * flow[..., 0], gy + (1.0 - t) * flow[..., 1])
+    out = c0 + (c1 - c0) * t
+    return jnp.clip(jnp.round(out * 255.0), 0, 255).astype(jnp.uint8)
+
+
+def blend_only(frame_a: jax.Array, frame_b: jax.Array, time_t: float | jax.Array) -> jax.Array:
+    """Zero-flow fast path == the reference's shipped interpolate_py behavior
+    (wgpu_interpolator.rs:276-295 creates an all-zero flow texture): with zero
+    flow the samples land exactly on texel centers, so the warp reduces to
+    mix(A, B, t)."""
+    a = frame_a.astype(jnp.float32)
+    b = frame_b.astype(jnp.float32)
+    t = jnp.asarray(time_t, jnp.float32)
+    out = (a + (b - a) * t) * (1.0 / 255.0)
+    return jnp.clip(jnp.round(out * 255.0), 0, 255).astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Full pipeline
+# ---------------------------------------------------------------------------
+
+
+def compute_flow(
+    frame_a: jax.Array,
+    frame_b: jax.Array,
+    levels: int = DEFAULT_PYRAMID_LEVELS,
+    coarse_iters: int = DEFAULT_COARSE_ITERS,
+    refine_iters: int = DEFAULT_REFINE_ITERS,
+    lam: float = DEFAULT_LAMBDA,
+    alpha: float = DEFAULT_ALPHA,
+) -> jax.Array:
+    """Coarse-to-fine optical flow A→B in pixels at full resolution.
+
+    Mirrors the designed (unshipped) reference path: build both pyramids,
+    Horn–Schunck at the coarsest level, then per finer level: bilinear 2×
+    flow upsample, ×2 magnitude scale, residual refinement
+    (refine_flow_hierarchy, wgpu_interpolator.rs:1238-1366).
+    """
+    a = frame_a.astype(jnp.float32) * (1.0 / 255.0)
+    b = frame_b.astype(jnp.float32) * (1.0 / 255.0)
+    pyr_a = build_pyramid(a, levels)
+    pyr_b = build_pyramid(b, levels)
+    lums_a = [luminance(p) for p in pyr_a]
+    lums_b = [luminance(p) for p in pyr_b]
+
+    coarse_shape = lums_a[-1].shape
+    flow = jnp.zeros(coarse_shape + (2,), jnp.float32)
+    flow = horn_schunck(lums_a[-1], lums_b[-1], flow, coarse_iters, lam)
+
+    for lvl in range(levels - 2, -1, -1):
+        th, tw = lums_a[lvl].shape[-2], lums_a[lvl].shape[-1]
+        flow = flow_upsample(flow, th, tw) * 2.0
+        flow = flow_refine(lums_a[lvl], lums_b[lvl], flow, refine_iters, alpha)
+    return flow
+
+
+@functools.lru_cache(maxsize=64)
+def make_interpolator(
+    height: int,
+    width: int,
+    mode: str = "blend",
+    levels: int = DEFAULT_PYRAMID_LEVELS,
+    coarse_iters: int = DEFAULT_COARSE_ITERS,
+    refine_iters: int = DEFAULT_REFINE_ITERS,
+):
+    """Compiled ``(frame_a_u8, frame_b_u8, t) -> mid_u8`` for a fixed size.
+
+    mode="blend": zero-flow parity with the shipped reference Python path.
+    mode="flow":  the full designed pyramid+HS+refine pipeline.
+    """
+    if mode == "blend":
+
+        def fn(a, b, t):
+            return blend_only(a, b, t)
+
+    elif mode == "flow":
+
+        def fn(a, b, t):
+            flow = compute_flow(a, b, levels, coarse_iters, refine_iters)
+            return warp_blend(a, b, flow, t)
+
+    else:  # pragma: no cover
+        raise ValueError(f"unknown interpolation mode: {mode!r}")
+
+    return jax.jit(fn)
+
+
+def interpolate_frames(frame_a, frame_b, time_t: float = 0.5, mode: str = "blend") -> jax.Array:
+    a = jnp.asarray(frame_a, jnp.uint8)
+    b = jnp.asarray(frame_b, jnp.uint8)
+    return make_interpolator(a.shape[-3], a.shape[-2], mode)(a, b, float(time_t))

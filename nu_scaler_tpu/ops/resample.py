@@ -1,0 +1,180 @@
+"""TPU-native resampling ops (the replacement for the reference's WGSL upscale
+shaders, `nu_scaler_core/src/upscale/mod.rs:184-263`, and the legacy algorithm
+set `Nu_scale/src/upscale/common.rs:68-106`).
+
+Design
+------
+* **nearest / bilinear** keep the exact WGSL semantics (top-left aligned
+  coordinates, trunc packing) as pure-JAX gathers — XLA fuses the index
+  arithmetic, gather and lerp into one loop over the output.
+* **bicubic / lanczos2 / lanczos3 / mitchell / area** are separable filters
+  realized as two dense weight-matrix contractions
+  (``W_v @ img @ W_h^T`` per channel).  On TPU this is the *right* shape: the
+  band structure is wasteful FLOP-wise but the MXU is so much faster than
+  gather-heavy VPU code that dense contraction wins by a wide margin, and XLA
+  fuses the u8⇄f32 conversions into the matmuls' prologue/epilogue.
+* Everything is shape-specialized and jitted; weight matrices are host-computed
+  once per (in, out, algorithm) and cached.
+
+All functions take/return RGBA uint8 ``[H, W, 4]`` (batch variants ``[N, H, W, 4]``),
+the byte contract of the reference API.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nu_scaler_tpu.kernels import reference as ref
+
+# Algorithms the string-typed API accepts. "nearest"/"bilinear" are the G2 live
+# set (lib.rs:58-62 parses exactly these); the rest are the G1 legacy tiers the
+# BASELINE configs demand. Unknown strings fall back to nearest, matching the
+# reference's silent-default parsing.
+ALGORITHMS = (
+    "nearest",
+    "bilinear",
+    "bicubic",
+    "lanczos2",
+    "lanczos3",
+    "mitchell",
+    "area",
+)
+
+_MATRIX_ALGOS = ("bicubic", "lanczos2", "lanczos3", "mitchell", "area")
+
+
+def normalize_algorithm(name: str) -> str:
+    """Case-insensitive parse with reference-compatible fallbacks."""
+    n = (name or "").lower().replace(" ", "").replace("-", "").replace("_", "")
+    aliases = {
+        "nearestneighbor": "nearest",
+        "balanced": "bicubic",  # legacy Balanced tier maps to Bicubic
+        "catmullrom": "bicubic",
+        "box": "area",
+    }
+    n = aliases.get(n, n)
+    return n if n in ALGORITHMS else "nearest"
+
+
+def quality_algorithm(quality: str) -> str:
+    """Quality→algorithm map of the legacy BasicUpscaler
+    (Nu_scale/src/upscale/common.rs:153-160)."""
+    return {
+        "ultra": "lanczos3",
+        "quality": "lanczos2",
+        "balanced": "bicubic",
+        "performance": "bilinear",
+    }.get((quality or "").lower(), "lanczos2")
+
+
+# ---------------------------------------------------------------------------
+# weight-matrix cache
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=256)
+def _axis_weights(in_size: int, out_size: int, algorithm: str) -> np.ndarray:
+    return ref.filter_weights(in_size, out_size, algorithm)
+
+
+# ---------------------------------------------------------------------------
+# kernel bodies (traced under jit; shapes static)
+# ---------------------------------------------------------------------------
+
+
+def _nearest_body(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """src = (dst * in) // out integer gather — pure u8, no float round trip
+    (NN_UPSCALE_SHADER, upscale/mod.rs:196-205)."""
+    in_h, in_w = img.shape[-3], img.shape[-2]
+    ys = (jnp.arange(out_h, dtype=jnp.int32) * in_h) // out_h
+    xs = (jnp.arange(out_w, dtype=jnp.int32) * in_w) // out_w
+    return jnp.take(jnp.take(img, ys, axis=-3), xs, axis=-2)
+
+
+def _bilinear_body(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """WGSL bilinear semantics incl. mix() order and trunc packing
+    (BILINEAR_UPSCALE_SHADER, upscale/mod.rs:236-262)."""
+    in_h, in_w = img.shape[-3], img.shape[-2]
+    f = img.astype(jnp.float32) * (1.0 / 255.0)
+
+    fx = jnp.arange(out_w, dtype=jnp.float32) * (np.float32(in_w) / np.float32(out_w))
+    fy = jnp.arange(out_h, dtype=jnp.float32) * (np.float32(in_h) / np.float32(out_h))
+    x0 = fx.astype(jnp.int32)
+    y0 = fy.astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, in_w - 1)
+    y1 = jnp.minimum(y0 + 1, in_h - 1)
+    dx = (fx - x0.astype(jnp.float32))[:, None]
+    dy = (fy - y0.astype(jnp.float32))[:, None, None]
+
+    r0 = jnp.take(f, y0, axis=-3)
+    r1 = jnp.take(f, y1, axis=-3)
+    c00 = jnp.take(r0, x0, axis=-2)
+    c10 = jnp.take(r0, x1, axis=-2)
+    c01 = jnp.take(r1, x0, axis=-2)
+    c11 = jnp.take(r1, x1, axis=-2)
+    c0 = c00 + dx * (c10 - c00)
+    c1 = c01 + dx * (c11 - c01)
+    c = c0 + dy * (c1 - c0)
+    return jnp.trunc(jnp.clip(c, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+
+def _matrix_body(
+    img: jax.Array, wv: jax.Array, wh: jax.Array, precision=jax.lax.Precision.HIGHEST
+) -> jax.Array:
+    """Separable resample as two MXU contractions.
+
+    img [..., H, W, C] u8  →  [..., OH, OW, C] u8 (trunc packed).
+
+    precision=HIGHEST keeps full f32 accumulation on the MXU — the default
+    (single-pass bf16) costs ~2 dB and lands just under the 50 dB gate.
+    """
+    f = img.astype(jnp.float32) * (1.0 / 255.0)
+    tmp = jnp.einsum("oi,...iwc->...owc", wv, f, precision=precision)
+    out = jnp.einsum("pw,...owc->...opc", wh, tmp, precision=precision)
+    return jnp.trunc(jnp.clip(out, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# public: shape-specialized compiled resamplers
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=256)
+def make_resampler(
+    in_h: int, in_w: int, out_h: int, out_w: int, algorithm: str, precision: str = "highest"
+):
+    """Returns a jitted ``u8 [H,W,4] -> u8 [OH,OW,4]`` function.
+
+    The returned callable also accepts a leading batch dimension
+    ``[N, H, W, 4]`` (all bodies are written batch-polymorphic), which is how
+    ``upscale_batch`` maps onto a single fused XLA program instead of the
+    reference's rayon thread pool (upscale/mod.rs:609-640).
+    """
+    algorithm = normalize_algorithm(algorithm)
+
+    if algorithm == "nearest":
+        fn = functools.partial(_nearest_body, out_h=out_h, out_w=out_w)
+    elif algorithm == "bilinear":
+        fn = functools.partial(_bilinear_body, out_h=out_h, out_w=out_w)
+    else:
+        wv = jnp.asarray(_axis_weights(in_h, out_h, algorithm))
+        wh = jnp.asarray(_axis_weights(in_w, out_w, algorithm))
+        prec = {
+            "highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT,
+        }[precision]
+        fn = functools.partial(_matrix_body, wv=wv, wh=wh, precision=prec)
+
+    return jax.jit(fn)
+
+
+def upscale_frame(img_u8, out_h: int, out_w: int, algorithm: str = "bilinear") -> jax.Array:
+    """One-shot convenience; compiles per (shape, algorithm) and caches."""
+    img_u8 = jnp.asarray(img_u8, dtype=jnp.uint8)
+    in_h, in_w = img_u8.shape[-3], img_u8.shape[-2]
+    return make_resampler(in_h, in_w, out_h, out_w, algorithm)(img_u8)

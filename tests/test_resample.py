@@ -1,0 +1,102 @@
+"""Resample kernels vs numpy goldens (PSNR gate from BASELINE.json: >= 50 dB;
+nearest must be exact)."""
+
+import numpy as np
+import pytest
+
+from nu_scaler_tpu.kernels import reference as ref
+from nu_scaler_tpu.ops import resample
+from nu_scaler_tpu.ops.metrics import ErrorMetrics, psnr
+
+SIZES = [((24, 32), (48, 64)), ((37, 53), (91, 119)), ((64, 48), (96, 120))]
+
+
+def _rand_img(rng, h, w):
+    return rng.integers(0, 256, size=(h, w, 4), dtype=np.uint8)
+
+
+def test_nearest_exact(rng):
+    for (ih, iw), (oh, ow) in SIZES:
+        img = _rand_img(rng, ih, iw)
+        out = np.asarray(resample.upscale_frame(img, oh, ow, "nearest"))
+        golden = ref.nearest_ref(img, oh, ow)
+        np.testing.assert_array_equal(out, golden)
+
+
+def test_bilinear_psnr(rng):
+    for (ih, iw), (oh, ow) in SIZES:
+        img = _rand_img(rng, ih, iw)
+        out = np.asarray(resample.upscale_frame(img, oh, ow, "bilinear"))
+        golden = ref.bilinear_ref(img, oh, ow)
+        p = psnr(out, golden)
+        assert p >= 50.0, f"bilinear {ih}x{iw}->{oh}x{ow}: PSNR {p:.1f}"
+
+
+@pytest.mark.parametrize("algo", ["bicubic", "lanczos2", "lanczos3", "mitchell", "area"])
+def test_matrix_algos_psnr(rng, algo):
+    for (ih, iw), (oh, ow) in SIZES[:2]:
+        img = _rand_img(rng, ih, iw)
+        out = np.asarray(resample.upscale_frame(img, oh, ow, algo))
+        golden = ref.separable_resample_ref(img, oh, ow, algo)
+        p = psnr(out, golden)
+        assert p >= 50.0, f"{algo} {ih}x{iw}->{oh}x{ow}: PSNR {p:.1f}"
+
+
+def test_downscale_area(rng):
+    img = _rand_img(rng, 64, 64)
+    out = np.asarray(resample.upscale_frame(img, 32, 32, "area"))
+    golden = ref.separable_resample_ref(img, 32, 32, "area")
+    assert psnr(out, golden) >= 50.0
+    # area downsample of a constant image is constant
+    const = np.full((64, 64, 4), 200, np.uint8)
+    out2 = np.asarray(resample.upscale_frame(const, 16, 16, "area"))
+    assert np.all(out2 >= 199) and np.all(out2 <= 200)
+
+
+def test_identity_scale(rng):
+    """Same-size resample should be near-identity for interpolating kernels."""
+    img = _rand_img(rng, 40, 40)
+    for algo in ["nearest", "bilinear", "area"]:
+        out = np.asarray(resample.upscale_frame(img, 40, 40, algo))
+        np.testing.assert_array_equal(out, img)
+    # lanczos/bicubic at identity: centers land exactly on samples
+    for algo in ["bicubic", "lanczos2", "lanczos3"]:
+        out = np.asarray(resample.upscale_frame(img, 40, 40, algo))
+        assert psnr(out, img) >= 50.0
+
+
+def test_batch_matches_single(rng):
+    imgs = np.stack([_rand_img(rng, 24, 32) for _ in range(3)])
+    fn = resample.make_resampler(24, 32, 48, 64, "lanczos3")
+    batched = np.asarray(fn(imgs))
+    for i in range(3):
+        single = np.asarray(fn(imgs[i]))
+        np.testing.assert_array_equal(batched[i], single)
+
+
+def test_normalize_algorithm():
+    assert resample.normalize_algorithm("Nearest Neighbor") == "nearest"
+    assert resample.normalize_algorithm("BILINEAR") == "bilinear"
+    assert resample.normalize_algorithm("Balanced") == "bicubic"
+    assert resample.normalize_algorithm("unknown-thing") == "nearest"  # silent fallback
+    assert resample.normalize_algorithm("Lanczos3") == "lanczos3"
+
+
+def test_quality_algorithm_map():
+    assert resample.quality_algorithm("ultra") == "lanczos3"
+    assert resample.quality_algorithm("quality") == "lanczos2"
+    assert resample.quality_algorithm("balanced") == "bicubic"
+    assert resample.quality_algorithm("performance") == "bilinear"
+
+
+def test_error_metrics_parity():
+    a = np.zeros((8, 8, 4), np.uint8)
+    b = np.zeros((8, 8, 4), np.uint8)
+    m = ErrorMetrics.calculate(a, b)
+    assert m.mse == 0.0 and m.psnr == float("inf")
+    b[..., 0] = 10  # alpha-only diffs must NOT count (RGB-only, common.rs:503-506)
+    m2 = ErrorMetrics.calculate(a, b)
+    assert abs(m2.mse - 100.0 / 3.0) < 1e-9
+    a2 = a.copy()
+    a2[..., 3] = 77
+    assert ErrorMetrics.calculate(a2, a).mse == 0.0
