@@ -168,13 +168,17 @@ def flow_refine(
     flow: jax.Array,
     iters: int,
     alpha: float = DEFAULT_ALPHA,
+    subpixel: bool = True,
 ) -> jax.Array:
     """Residual HS refinement at one pyramid level — the behavior
     flow_refine.wgsl:101-137 intended (never compiled in the reference).
 
-    It warps I2 by the current flow (integer-truncated sample, per the WGSL's
-    `vec2<u32>(clamp(...))`), so It must be recomputed every iteration — kept
-    inside the loop, unlike the coarse pass.
+    It warps I2 by the current flow, so It must be recomputed every iteration —
+    kept inside the loop, unlike the coarse pass.
+
+    subpixel=True (production default) samples the warp bilinearly; the WGSL
+    spec truncated to integer coords (`vec2<u32>(clamp(...))`), which costs
+    convergence — pass subpixel=False for byte-parity with that semantics.
     """
     h, w = lum1.shape[-2], lum1.shape[-1]
     ix, iy = _gradients(lum1)
@@ -183,11 +187,18 @@ def flow_refine(
     gy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     xs = jnp.arange(w)
     ys = jnp.arange(h)
+    lum2c = lum2[..., None]  # channel dim for the bilinear sampler
 
     def step(_, f):
-        wx = jnp.clip(gx + f[..., 0], 0, w - 1).astype(jnp.int32)
-        wy = jnp.clip(gy + f[..., 1], 0, h - 1).astype(jnp.int32)
-        it = lum2[wy, wx] - lum1
+        if subpixel:
+            warped = _sample_bilinear(
+                lum2c, gx + f[..., 0] + 0.5, gy + f[..., 1] + 0.5
+            )[..., 0]
+            it = warped - lum1
+        else:
+            wx = jnp.clip(gx + f[..., 0], 0, w - 1).astype(jnp.int32)
+            wy = jnp.clip(gy + f[..., 1], 0, h - 1).astype(jnp.int32)
+            it = lum2[wy, wx] - lum1
         num = ix * f[..., 0] + iy * f[..., 1] + it
         scale = jnp.where(jnp.abs(den) > 1e-6, num / den, 0.0)
         lap_rows = _clamp_take(f, ys + 1, axis=-3) + _clamp_take(f, ys - 1, axis=-3)

@@ -1,0 +1,156 @@
+"""Interpolation pipeline vs numpy goldens + the analytic tests the reference
+wrote but left `#[ignore]`d (wgpu_interpolator.rs:1386-1497)."""
+
+import numpy as np
+import pytest
+
+from nu_scaler_tpu.kernels import reference as ref
+from nu_scaler_tpu.ops import interpolate as interp
+from nu_scaler_tpu.ops.metrics import psnr
+
+
+def _rand_img(rng, h, w):
+    return rng.integers(0, 256, size=(h, w, 4), dtype=np.uint8)
+
+
+def test_blend_zero_flow_parity(rng):
+    """test_warp_blend_zero_flow (wgpu_interpolator.rs:1386): black + white at
+    t=0.5 → mid gray; and vs golden on random frames."""
+    a = np.zeros((16, 16, 4), np.uint8)
+    b = np.full((16, 16, 4), 255, np.uint8)
+    out = np.asarray(interp.interpolate_frames(a, b, 0.5, mode="blend"))
+    assert np.all(out == 128)  # round(0.5*255) = 128
+
+    fa, fb = _rand_img(rng, 33, 47), _rand_img(rng, 33, 47)
+    out = np.asarray(interp.interpolate_frames(fa, fb, 0.25, mode="blend"))
+    golden = ref.warp_blend_ref(fa, fb, np.zeros((33, 47, 2), np.float32), 0.25)
+    assert psnr(out, golden) >= 50.0
+
+
+def test_warp_blend_with_flow_matches_golden(rng):
+    fa, fb = _rand_img(rng, 24, 40), _rand_img(rng, 24, 40)
+    flow = (rng.random((24, 40, 2), dtype=np.float32) - 0.5) * 6.0
+    import jax.numpy as jnp
+
+    out = np.asarray(interp.warp_blend(jnp.asarray(fa), jnp.asarray(fb), jnp.asarray(flow), 0.5))
+    golden = ref.warp_blend_ref(fa, fb, flow, 0.5)
+    assert psnr(out, golden) >= 50.0
+
+
+def test_gaussian_blur_golden(rng):
+    img = rng.random((17, 23, 4)).astype(np.float32)
+    out = np.asarray(interp.gaussian_blur(img))
+    golden = ref.gaussian_blur_ref(img)
+    np.testing.assert_allclose(out, golden, atol=1e-5)
+
+
+def test_downsample_golden(rng):
+    img = rng.random((17, 23, 4)).astype(np.float32)
+    out = np.asarray(interp.downsample2x(img))
+    golden = ref.downsample2x_ref(img)
+    assert out.shape == (8, 11, 4)
+    np.testing.assert_allclose(out, golden, atol=1e-6)
+
+
+def test_pyramid_dims(rng):
+    """test_build_pyramid dims assertions (wgpu_interpolator.rs:1461)."""
+    img = rng.random((64, 48, 4)).astype(np.float32)
+    pyr = interp.build_pyramid(img, 4)
+    assert [p.shape[:2] for p in pyr] == [(64, 48), (32, 24), (16, 12), (8, 6)]
+
+
+def test_hs_zero_flow_on_identical_frames(rng):
+    """test_compute_coarse_flow_zeros (wgpu_interpolator.rs:1497): identical
+    frames → zero flow stays zero."""
+    import jax.numpy as jnp
+
+    lum = jnp.asarray(rng.random((16, 16)).astype(np.float32))
+    flow0 = jnp.zeros((16, 16, 2), jnp.float32)
+    flow = np.asarray(interp.horn_schunck(lum, lum, flow0, 10))
+    np.testing.assert_allclose(flow, 0.0, atol=1e-6)
+
+
+def test_hs_step_golden(rng):
+    import jax.numpy as jnp
+
+    l1 = rng.random((12, 14)).astype(np.float32)
+    l2 = rng.random((12, 14)).astype(np.float32)
+    f0 = (rng.random((12, 14, 2)).astype(np.float32) - 0.5) * 2
+    out = np.asarray(interp.horn_schunck(jnp.asarray(l1), jnp.asarray(l2), jnp.asarray(f0), 1))
+    golden = ref.horn_schunck_step_ref(l1, l2, f0, interp.DEFAULT_LAMBDA)
+    np.testing.assert_allclose(out, golden, atol=1e-4)
+
+
+def test_flow_upsample_golden(rng):
+    import jax.numpy as jnp
+
+    flow = rng.random((8, 10, 2)).astype(np.float32)
+    out = np.asarray(interp.flow_upsample(jnp.asarray(flow), 16, 20))
+    golden = ref.flow_upsample_ref(flow, 16, 20)
+    np.testing.assert_allclose(out, golden, atol=1e-5)
+
+
+def test_flow_refine_step_golden(rng):
+    import jax.numpy as jnp
+
+    l1 = rng.random((12, 14)).astype(np.float32)
+    l2 = rng.random((12, 14)).astype(np.float32)
+    f0 = (rng.random((12, 14, 2)).astype(np.float32) - 0.5) * 2
+    out = np.asarray(
+        interp.flow_refine(jnp.asarray(l1), jnp.asarray(l2), jnp.asarray(f0), 1, subpixel=False)
+    )
+    golden = ref.flow_refine_step_ref(l1, l2, f0, interp.DEFAULT_ALPHA)
+    np.testing.assert_allclose(out, golden, atol=1e-4)
+
+
+def test_uniform_shift_flow_recovery():
+    """test_refine_flow_uniform_shift — the analytic test the reference
+    skeleton'd (wgpu_interpolator.rs:1497+): a smooth pattern shifted by
+    (+2, 0) pixels should produce flow with positive mean x-component."""
+    h, w = 64, 96
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = (
+        127.5
+        + 80 * np.sin(xx * (2 * np.pi / 24))
+        + 40 * np.sin(yy * (2 * np.pi / 32))
+    )
+    shift = 2
+    a = np.zeros((h, w, 4), np.uint8)
+    b = np.zeros((h, w, 4), np.uint8)
+    for c in range(3):
+        a[..., c] = np.clip(base, 0, 255).astype(np.uint8)
+        b[..., c] = np.clip(np.roll(base, shift, axis=1), 0, 255).astype(np.uint8)
+    a[..., 3] = b[..., 3] = 255
+
+    flow = np.asarray(interp.compute_flow(a, b, levels=3, coarse_iters=64, refine_iters=8))
+    inner = flow[8:-8, 8:-8]
+    mean_u = inner[..., 0].mean()
+    # HS flow under-estimates large shifts; direction + significance is the gate
+    assert mean_u > 0.5, f"mean flow x {mean_u:.3f}, expected positive toward {shift}"
+    assert abs(inner[..., 1].mean()) < 0.5
+
+
+def test_flow_mode_beats_blend_on_motion():
+    """End-to-end value test: on a moving scene the flow-compensated
+    interpolation must beat plain cross-fade vs the true middle frame."""
+    h, w = 48, 80
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+
+    def scene(offset):
+        """A bright Gaussian blob sliding right over a dark background —
+        smooth, non-periodic, ideal for gradient-based flow."""
+        img = np.zeros((h, w, 4), np.uint8)
+        blob = 230.0 * np.exp(
+            -(((xx - 30.0 - offset) / 10.0) ** 2 + ((yy - 24.0) / 10.0) ** 2)
+        )
+        for c in range(3):
+            img[..., c] = np.clip(20.0 + blob, 0, 255).astype(np.uint8)
+        img[..., 3] = 255
+        return img
+
+    a, mid_true, b = scene(0), scene(3), scene(6)
+    out_blend = np.asarray(interp.interpolate_frames(a, b, 0.5, mode="blend"))
+    out_flow = np.asarray(interp.interpolate_frames(a, b, 0.5, mode="flow"))
+    p_blend = psnr(out_blend, mid_true)
+    p_flow = psnr(out_flow, mid_true)
+    assert p_flow > p_blend, f"flow {p_flow:.1f} dB should beat blend {p_blend:.1f} dB"
