@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""Headline benchmark — BASELINE.json north star:
+
+    1080p→4K Lanczos3 upscale + 2x frame interpolation, streaming,
+    target ≥ 240 output frames/sec/chip on TPU v5e.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N, ...extras}
+
+Methodology: the dev TPU is reached through a tunnel whose host↔device
+round trip is ~29 ms, and whose `block_until_ready` does not reliably fence
+queued work — so per-call wall timing measures the tunnel, not the chip. Each
+config therefore runs ITERS chained pipeline steps inside ONE jitted
+`lax.fori_loop` (the next step consumes a crop of the previous output, a real
+data dependency), with a single scalar fetch at the end; the measured wall
+time minus the independently-measured fetch overhead gives device throughput.
+Details go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".jax_cache")
+)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nu_scaler_tpu.bench.harness import generate_test_pattern
+from nu_scaler_tpu.ops import fsr as fsr_ops
+from nu_scaler_tpu.ops import interpolate as interp_ops
+from nu_scaler_tpu.ops import resample
+
+TARGET_FPS = 240.0
+IN_H, IN_W = 1080, 1920
+OUT_H, OUT_W = 2160, 3840
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def fetch_overhead_s(reps: int = 10) -> float:
+    t = jax.device_put(np.ones((8, 8), np.float32))
+    tiny = jax.jit(lambda a: a.sum())
+    float(tiny(t))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        float(tiny(t))
+    return (time.perf_counter() - t0) / reps
+
+
+def timed_loop(body, state0, iters: int, overhead_s: float) -> float:
+    """Run `iters` chained steps of `body` in one jitted fori_loop; return
+    seconds per step (device time)."""
+
+    @jax.jit
+    def run(state):
+        return jax.lax.fori_loop(0, iters, lambda i, s: body(s), state)
+
+    out = run(state0)  # compile + warm
+    probe = jax.jit(lambda s: sum(jnp.sum(x[..., :1, :1, :].astype(jnp.float32)) for x in jax.tree_util.tree_leaves(s)))
+    float(probe(out))
+    t0 = time.perf_counter()
+    out = run(state0)
+    float(probe(out))
+    dt = time.perf_counter() - t0 - overhead_s
+    return max(dt, 1e-9) / iters
+
+
+def make_input(seed: int = 0) -> np.ndarray:
+    f = generate_test_pattern(IN_W, IN_H)
+    f[480:600, 640:760, :3] = 255
+    return f
+
+
+def pipeline_body(mode: str):
+    """(prev, cur) → (cur, next): one live step = interp at 1080p + batched
+    pair upscale to 4K; `next` is derived from the 4K output (dependency)."""
+    up = resample.make_resampler(IN_H, IN_W, OUT_H, OUT_W, "lanczos3")
+
+    if mode == "blend":
+        mid_fn = interp_ops.blend_only
+    else:
+        def mid_fn(a, b, t):
+            flow = interp_ops.compute_flow(a, b)
+            return interp_ops.warp_blend(a, b, flow, t)
+
+    def body(state):
+        prev, cur = state
+        mid = mid_fn(prev, cur, 0.5)
+        out = up(jnp.stack([mid, cur]))  # ONE batched MXU contraction
+        nxt = out[1, :IN_H, :IN_W, :]  # contiguous crop — chains the loop (strided slicing is slow on TPU)
+        return (cur, nxt)
+
+    return body
+
+
+def bench_pipeline(mode: str, iters: int, overhead_s: float) -> dict:
+    frame = make_input()
+    prev = jax.device_put(frame)
+    cur = jax.device_put(np.roll(frame, 16, axis=1))
+    spf = timed_loop(pipeline_body(mode), (prev, cur), iters, overhead_s)
+    return {"fps": 2.0 / spf, "step_ms": spf * 1000.0}  # 2 output frames/step
+
+
+def bench_upscale(algorithm: str, iters: int, overhead_s: float) -> float:
+    up = resample.make_resampler(IN_H, IN_W, OUT_H, OUT_W, algorithm)
+
+    def body(state):
+        out = up(state)
+        return out[:IN_H, :IN_W, :]
+
+    spf = timed_loop(body, jax.device_put(make_input()), iters, overhead_s)
+    return 1.0 / spf
+
+
+def bench_fsr(iters: int, overhead_s: float) -> float:
+    fn = fsr_ops.make_fsr_upscaler(IN_H, IN_W, OUT_H, OUT_W, "quality")
+
+    def body(state):
+        out = fn(state)
+        return out[:IN_H, :IN_W, :]
+
+    spf = timed_loop(body, jax.device_put(make_input()), iters, overhead_s)
+    return 1.0 / spf
+
+
+def main() -> None:
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.platform})")
+    overhead = fetch_overhead_s()
+    log(f"host<->device fetch overhead: {overhead*1000:.2f} ms (subtracted once per run)")
+    iters = 100 if dev.platform == "tpu" else 5
+
+    res_blend = bench_pipeline("blend", iters, overhead)
+    log(f"pipeline[blend  ] {res_blend['fps']:9.1f} out-fps  {res_blend['step_ms']:.3f} ms/step")
+    try:
+        res_flow = bench_pipeline("flow", max(iters // 10, 3), overhead)
+        log(f"pipeline[hs-flow] {res_flow['fps']:9.1f} out-fps  {res_flow['step_ms']:.3f} ms/step")
+    except Exception as e:  # noqa: BLE001
+        res_flow = {"fps": 0.0}
+        log(f"pipeline[hs-flow] failed: {e}")
+
+    extras = {}
+    for algo in ("bilinear", "lanczos3", "bicubic"):
+        fps = bench_upscale(algo, iters, overhead)
+        extras[f"upscale_{algo}_fps"] = round(fps, 1)
+        log(f"upscale[{algo:9}] 1080p→4K {fps:9.1f} fps")
+    try:
+        fps = bench_fsr(iters, overhead)
+        extras["fsr_easu_rcas_fps"] = round(fps, 1)
+        log(f"upscale[fsr      ] 1080p→4K {fps:9.1f} fps")
+    except Exception as e:  # noqa: BLE001
+        log(f"fsr bench failed: {e}")
+
+    value = round(res_blend["fps"], 1)
+    print(
+        json.dumps(
+            {
+                "metric": "1080p→4K lanczos3 + 2x interp, output frames/sec/chip",
+                "value": value,
+                "unit": "fps",
+                "vs_baseline": round(value / TARGET_FPS, 3),
+                "step_ms": round(res_blend["step_ms"], 3),
+                "flow_mode_fps": round(res_flow["fps"], 1),
+                "platform": dev.platform,
+                **extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -234,7 +234,13 @@ class PyAdvancedWgpuUpscaler(PyWgpuUpscaler):
 
     def _update_adaptive_quality(self) -> None:
         """VRAM-pressure quality ladder (upscale/mod.rs:355-409): >85% usage
-        steps quality down one tier, <50% steps it up."""
+        steps quality down one tier, <50% recommends stepping up.
+
+        The reference computes the new tier but can only *recommend* it
+        (`needs_reinit`, never acted on). We keep that observable behavior for
+        the upward direction (`recommended_quality`), but actually apply the
+        downgrade under real pressure — graceful degradation is the point of
+        the feature (SURVEY §5 failure-handling)."""
         pct = self._pool.get_vram_stats().usage_percent
         down = {
             UpscalingQuality.ULTRA: UpscalingQuality.QUALITY,
@@ -249,8 +255,11 @@ class PyAdvancedWgpuUpscaler(PyWgpuUpscaler):
         }
         if pct > 85.0:
             self._quality = down.get(self._quality, self._quality)
+            self.recommended_quality = self._quality
         elif pct < 50.0:
-            self._quality = up.get(self._quality, self._quality)
+            self.recommended_quality = up.get(self._quality, self._quality)
+        else:
+            self.recommended_quality = self._quality
 
     def get_vram_stats(self) -> PyVramStats:
         s = self._pool.get_vram_stats()

@@ -134,6 +134,30 @@ _FILTERS = {
 }
 
 
+def nearest_weights(in_size: int, out_size: int) -> np.ndarray:
+    """[out, in] 0/1 matrix with the WGSL NN mapping src=(dst*in)//out —
+    lets nearest ride the same banded-matmul path as the filters (gathers are
+    pathologically slow on TPU)."""
+    mat = np.zeros((out_size, in_size), dtype=np.float32)
+    src = (np.arange(out_size, dtype=np.uint64) * in_size) // out_size
+    mat[np.arange(out_size), src.astype(np.int64)] = 1.0
+    return mat
+
+
+def bilinear_weights_wgsl(in_size: int, out_size: int) -> np.ndarray:
+    """[out, in] 2-tap matrix with the WGSL bilinear convention: top-left
+    aligned fx = dst*in/out (no half-pixel center), x1 clamped
+    (upscale/mod.rs:245-252)."""
+    fx = np.arange(out_size, dtype=np.float32) * np.float32(in_size) / np.float32(out_size)
+    x0 = fx.astype(np.int64)
+    x1 = np.minimum(x0 + 1, in_size - 1)
+    dx = (fx - x0.astype(np.float32)).astype(np.float32)
+    mat = np.zeros((out_size, in_size), dtype=np.float32)
+    np.add.at(mat, (np.arange(out_size), x0), 1.0 - dx)
+    np.add.at(mat, (np.arange(out_size), x1), dx)
+    return mat
+
+
 def filter_weights(in_size: int, out_size: int, algorithm: str) -> np.ndarray:
     """Dense [out_size, in_size] float32 weight matrix for one axis.
 
@@ -144,6 +168,10 @@ def filter_weights(in_size: int, out_size: int, algorithm: str) -> np.ndarray:
     """
     if algorithm == "area":
         return _area_weights(in_size, out_size)
+    if algorithm == "nearest":
+        return nearest_weights(in_size, out_size)
+    if algorithm == "bilinear":
+        return bilinear_weights_wgsl(in_size, out_size)
     kern, support = _FILTERS[algorithm]
     scale = in_size / out_size
     # widen kernel when minifying

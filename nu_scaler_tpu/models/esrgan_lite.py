@@ -1,0 +1,189 @@
+"""ESRGAN-lite — the learned "quality" tier (flax).
+
+Replaces the role of the reference's vendor-SDK stubs (`dlss-sys`,
+`fsr3-sys`, `upscale/dlss.rs.disabled` — SURVEY §2 C11/C12): a lightweight
+residual conv super-resolution network served through the "dlss" technology
+string and `create_advanced_upscaler("ultra")`.
+
+Architecture: shallow RRDB-style trunk — features conv → N residual blocks
+(conv-relu-conv, 0.2-scaled skip) → global skip → pixel-shuffle ×2 upsample
+stages → RGB head, bilinear base added back (the net learns the residual
+detail). All convs are NHWC 3×3 — XLA maps them onto the MXU as implicit
+GEMMs; channel counts are multiples of 8 to tile cleanly.
+
+Sharding (used by `dryrun_multichip` and multi-chip training):
+  * dp: batch over the `data` mesh axis
+  * tp: conv channels over the `model` axis (kernel HWIO → O sharded; the
+    channel dim is contracted locally per shard then laid out so no
+    collective is needed between blocks except the XLA-inserted ones)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+class ResBlock(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Conv(self.features, (3, 3), padding="SAME", name="conv1")(x)
+        h = nn.relu(h)
+        h = nn.Conv(self.features, (3, 3), padding="SAME", name="conv2")(h)
+        return x + 0.2 * h
+
+
+class ESRGANLite(nn.Module):
+    """2x-per-stage super-resolution; `stages` pixel-shuffle doublings."""
+
+    features: int = 32
+    blocks: int = 4
+    stages: int = 1  # 1 → 2x, 2 → 4x
+
+    @nn.compact
+    def __call__(self, x):  # x: [N, H, W, 3] float32 in [0,1]
+        feat = nn.Conv(self.features, (3, 3), padding="SAME", name="head")(x)
+        h = feat
+        for i in range(self.blocks):
+            h = ResBlock(self.features, name=f"block{i}")(h)
+        h = nn.Conv(self.features, (3, 3), padding="SAME", name="trunk")(h) + feat
+        for s in range(self.stages):
+            h = nn.Conv(self.features * 4, (3, 3), padding="SAME", name=f"up{s}")(h)
+            # pixel shuffle 2x: [N,H,W,4F] -> [N,2H,2W,F]
+            n, hh, ww, c = h.shape
+            h = h.reshape(n, hh, ww, 2, 2, c // 4)
+            h = h.transpose(0, 1, 3, 2, 4, 5).reshape(n, hh * 2, ww * 2, c // 4)
+            h = nn.relu(h)
+        out = nn.Conv(3, (3, 3), padding="SAME", name="tail")(h)
+        base = jax.image.resize(x, out.shape, method="bilinear")
+        return base + out
+
+
+def scale_to_stages(in_h: int, out_h: int) -> int:
+    ratio = out_h / in_h
+    stages = max(1, int(round(np.log2(max(ratio, 2.0)))))
+    return stages
+
+
+def init_params(rng_seed: int = 0, stages: int = 1, features: int = 32, blocks: int = 4):
+    model = ESRGANLite(features=features, blocks=blocks, stages=stages)
+    params = model.init(jax.random.PRNGKey(rng_seed), jnp.zeros((1, 32, 32, 3), jnp.float32))
+    return model, params
+
+
+# ---------------------------------------------------------------------------
+# Training (the checkpoint/resume + learned-tier stretch, SURVEY §7 step 8)
+# ---------------------------------------------------------------------------
+
+
+def l1_loss(model: ESRGANLite, params, lr_batch, hr_batch):
+    pred = model.apply(params, lr_batch)
+    return jnp.mean(jnp.abs(pred - hr_batch))
+
+
+def make_train_step(model: ESRGANLite, optimizer):
+    @jax.jit
+    def train_step(params, opt_state, lr_batch, hr_batch):
+        loss, grads = jax.value_and_grad(lambda p: l1_loss(model, p, lr_batch, hr_batch))(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
+def param_shardings(params, mesh: Mesh):
+    """tp layout: conv kernels HWIO shard O over 'model'; biases shard over
+    'model'; everything falls back to replicated when not divisible."""
+    model_size = dict(zip(mesh.axis_names, mesh.devices.shape))["model"]
+
+    def spec_for(path, leaf):
+        if leaf.ndim == 4 and leaf.shape[-1] % model_size == 0:
+            return P(None, None, None, "model")
+        if leaf.ndim == 1 and leaf.shape[0] % model_size == 0:
+            return P("model")
+        return P()
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, spec_for(path, leaf)), params
+    )
+
+
+def make_sharded_train_step(model: ESRGANLite, optimizer, mesh: Mesh, params):
+    """dp×tp train step: batch over 'data', channels over 'model'.
+
+    Returns (step_fn, sharded_params, opt_state). Optimizer-state shardings
+    (per-param moments) are inferred by jit from the sharded params it was
+    initialized with.
+    """
+    p_shard = param_shardings(params, mesh)
+    sharded_params = jax.device_put(params, p_shard)
+    opt_state = optimizer.init(sharded_params)
+    batch_shard = NamedSharding(mesh, P("data"))
+    step = jax.jit(
+        lambda params, opt_state, lr, hr: _sharded_step_body(
+            model, optimizer, params, opt_state, lr, hr
+        ),
+        in_shardings=(p_shard, None, batch_shard, batch_shard),
+        out_shardings=(p_shard, None, None),
+    )
+    return step, sharded_params, opt_state
+
+
+def _sharded_step_body(model, optimizer, params, opt_state, lr_batch, hr_batch):
+    loss, grads = jax.value_and_grad(lambda p: l1_loss(model, p, lr_batch, hr_batch))(params)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
+
+
+# ---------------------------------------------------------------------------
+# Inference (the "dlss" tech tier)
+# ---------------------------------------------------------------------------
+
+_PRETRAINED: dict[int, Any] = {}
+
+
+def get_params(stages: int):
+    """Deterministic weights per stage count. Checkpoint loading (orbax) plugs
+    in here; falls back to seed-0 init (the net then acts as a mildly
+    perturbed bilinear thanks to the global skip)."""
+    if stages not in _PRETRAINED:
+        _, params = init_params(0, stages)
+        _PRETRAINED[stages] = params
+    return _PRETRAINED[stages]
+
+
+def set_params(stages: int, params) -> None:
+    _PRETRAINED[stages] = params
+
+
+@functools.lru_cache(maxsize=32)
+def make_pretrained_upscaler(in_h: int, in_w: int, out_h: int, out_w: int):
+    """u8 RGBA [H,W,4] → u8 RGBA [OH,OW,4]; net on RGB, alpha resampled
+    bilinearly; net output resized to the exact target when the stage ratio
+    doesn't land on it."""
+    stages = scale_to_stages(in_h, out_h)
+    model = ESRGANLite(stages=stages)
+    params = get_params(stages)
+
+    def fn(img_u8):
+        f = img_u8.astype(jnp.float32) * (1.0 / 255.0)
+        rgb = f[None, ..., :3]
+        out = model.apply(params, rgb)[0]
+        if out.shape[:2] != (out_h, out_w):
+            out = jax.image.resize(out, (out_h, out_w, 3), method="bilinear")
+        alpha = jax.image.resize(f[..., 3:], (out_h, out_w, 1), method="bilinear")
+        full = jnp.concatenate([out, alpha], axis=-1)
+        return jnp.clip(jnp.round(full * 255.0), 0, 255).astype(jnp.uint8)
+
+    return jax.jit(fn)

@@ -82,6 +82,106 @@ def _axis_weights(in_size: int, out_size: int, algorithm: str) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# block-banded decomposition
+# ---------------------------------------------------------------------------
+#
+# The dense [O, I] weight matrix of a separable filter is banded: each output
+# row touches only ~K input samples. Dense contraction burns O(I/K) more MXU
+# FLOPs than needed (~150x at 1080p→4K Lanczos3). When the scale is rational
+# with small denominator, the band structure tiles: output tile t (TC rows)
+# reads a contiguous input slab of 2*stride rows starting at t*stride
+# (stride = TC*I/O, integer by construction). The contraction becomes a
+# batched small matmul
+#
+#     out[t] = A[t] @ slab[t],   A: [T, TC, 2*stride]
+#
+# which is pure XLA (einsum) and keeps the MXU on 128-aligned tiles. This is
+# the "block-aligned tiling with halo reads" design from SURVEY §7, realized
+# without a custom kernel: slab[t] = concat(blocks[t], blocks[t+1]) after
+# padding the input by `halo` at the head.
+
+
+@functools.lru_cache(maxsize=256)
+def _banded_axis(in_size: int, out_size: int, algorithm: str, target_tc: int = 128):
+    """Precompute the block-banded form for one axis.
+
+    Returns (A, stride, halo, tc, t) with A: np.ndarray [T, 2*stride, TC],
+    or None when the banded form is not profitable/possible.
+    """
+    import math
+
+    g = math.gcd(in_size, out_size)
+    p, q = out_size // g, in_size // g  # out:in ratio = p:q
+    tc = max(p, ((target_tc + p - 1) // p) * p)  # tile of output rows
+    if tc >= out_size:
+        return None
+    stride = tc * q // p
+    t = -(-out_size // tc)  # ceil: pad output, crop after
+
+    w = _axis_weights(in_size, out_size, algorithm)  # [O, I]
+    nz_cols = np.nonzero(w)[1]
+    # per-row support bounds
+    lo = np.full(out_size, in_size, np.int64)
+    hi = np.full(out_size, -1, np.int64)
+    rows, cols = np.nonzero(w)
+    np.minimum.at(lo, rows, cols)
+    np.maximum.at(hi, rows, cols)
+
+    tiles = np.arange(out_size) // tc
+    halo = int(max(0, (tiles * stride - lo).max()))
+    tail = int(max(0, (hi - (tiles + 1) * stride + 1).max()))
+    if halo + tail > stride:  # band too wide for the 2-block slab
+        return None
+
+    s2 = 2 * stride
+    a = np.zeros((t, s2, tc), dtype=np.float32)
+    for o in range(out_size):
+        ti = o // tc
+        pl_ = o % tc
+        base = ti * stride - halo  # first input index covered by slab ti
+        l_, h_ = int(lo[o]), int(hi[o])
+        if h_ < l_:
+            continue
+        a[ti, l_ - base : h_ - base + 1, pl_] = w[o, l_ : h_ + 1]
+    return a, stride, halo, tc, t
+
+
+def _banded_pass_first_axis(f: jax.Array, banded, precision) -> jax.Array:
+    """Apply a banded axis resample along axis -3 (rows) of [..., I, W, C]."""
+    a, stride, halo, tc, t = banded
+    in_size = f.shape[-3]
+    lead = f.shape[:-3]
+    w_, c_ = f.shape[-2], f.shape[-1]
+    total = (t + 1) * stride
+    pad_head = halo
+    pad_tail = total - halo - in_size
+    f_p = jnp.pad(f, [(0, 0)] * len(lead) + [(pad_head, pad_tail), (0, 0), (0, 0)])
+    blocks = f_p.reshape(*lead, t + 1, stride, w_, c_)
+    slab = jnp.concatenate([blocks[..., :-1, :, :, :], blocks[..., 1:, :, :, :]], axis=-3)
+    out = jnp.einsum(
+        "tsp,...tswc->...tpwc", jnp.asarray(a), slab, precision=precision
+    )
+    return out.reshape(*lead, t * tc, w_, c_)
+
+
+def _banded_body(
+    img: jax.Array,
+    banded_v,
+    banded_h,
+    out_h: int,
+    out_w: int,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jax.Array:
+    """Separable block-banded resample; [..., H, W, C] u8 → [..., OH, OW, C] u8."""
+    f = img.astype(jnp.float32) * (1.0 / 255.0)
+    out = _banded_pass_first_axis(f, banded_v, precision)[..., :out_h, :, :]
+    out = jnp.swapaxes(out, -3, -2)  # [..., W, OH, C]
+    out = _banded_pass_first_axis(out, banded_h, precision)[..., :out_w, :, :]
+    out = jnp.swapaxes(out, -3, -2)  # [..., OH, OW, C]
+    return jnp.trunc(jnp.clip(out, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
 # kernel bodies (traced under jit; shapes static)
 # ---------------------------------------------------------------------------
 
@@ -156,18 +256,34 @@ def make_resampler(
     """
     algorithm = normalize_algorithm(algorithm)
 
-    if algorithm == "nearest":
+    prec = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }[precision]
+    # All algorithms (incl. nearest/bilinear with their WGSL alignment) ride
+    # the block-banded MXU path when the scale tiles — general gathers are
+    # pathologically slow on TPU; matmuls with 0/1 or 2-tap banded weights
+    # are near memory-bound. (The u8→f32→u8 roundtrip is exact for all 256
+    # values, so nearest stays bit-exact.)
+    banded_v = _banded_axis(in_h, out_h, algorithm)
+    banded_h = _banded_axis(in_w, out_w, algorithm)
+    if banded_v is not None and banded_h is not None:
+        fn = functools.partial(
+            _banded_body,
+            banded_v=banded_v,
+            banded_h=banded_h,
+            out_h=out_h,
+            out_w=out_w,
+            precision=prec,
+        )
+    elif algorithm == "nearest":
         fn = functools.partial(_nearest_body, out_h=out_h, out_w=out_w)
     elif algorithm == "bilinear":
         fn = functools.partial(_bilinear_body, out_h=out_h, out_w=out_w)
-    else:
+    else:  # irrational-ish scales or tiny axes: dense fallback
         wv = jnp.asarray(_axis_weights(in_h, out_h, algorithm))
         wh = jnp.asarray(_axis_weights(in_w, out_w, algorithm))
-        prec = {
-            "highest": jax.lax.Precision.HIGHEST,
-            "high": jax.lax.Precision.HIGH,
-            "default": jax.lax.Precision.DEFAULT,
-        }[precision]
         fn = functools.partial(_matrix_body, wv=wv, wh=wh, precision=prec)
 
     return jax.jit(fn)

@@ -1,0 +1,141 @@
+"""Device-mesh parallelism.
+
+The reference's only parallel axis is rayon `par_iter` over a frame batch
+(`upscale/mod.rs:609-640`) plus thread pipelines (SURVEY §2.6). The TPU-native
+equivalents built here:
+
+  * **dp** (data parallel): frames sharded over the mesh `batch` axis —
+    `shard_batch_resampler`. Collective-free; each chip upscales its shard.
+  * **sp** (spatial parallel): one frame's output rows sharded over chips —
+    `shard_spatial_resampler`. The input is replicated (it is the small side:
+    1080p in vs 4K out); each chip computes its row-block of the vertical
+    contraction then the full horizontal contraction locally — no per-step
+    collectives ride ICI at all, only the initial broadcast.
+  * the learned tier trains with dp × tp sharding — see
+    `nu_scaler_tpu/models/esrgan_lite.py`.
+
+pp/ep do not apply to this domain (no layer pipeline, no experts); SURVEY
+§2.6 records that honestly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from nu_scaler_tpu.ops import resample as _resample
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "batch") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def make_2d_mesh(data: int, model: int) -> Mesh:
+    devs = np.array(jax.devices()[: data * model]).reshape(data, model)
+    return Mesh(devs, ("data", "model"))
+
+
+@functools.lru_cache(maxsize=64)
+def shard_batch_resampler(
+    mesh_key, in_h: int, in_w: int, out_h: int, out_w: int, algorithm: str
+):
+    """Batched resampler with the batch dim sharded over the mesh.
+
+    `mesh_key` is the Mesh (hashable in JAX >= 0.4); frames [N, H, W, 4] must
+    have N divisible by the mesh size.
+    """
+    mesh = mesh_key
+    fn = _resample.make_resampler(in_h, in_w, out_h, out_w, algorithm)
+    in_sharding = NamedSharding(mesh, P("batch"))
+    out_sharding = NamedSharding(mesh, P("batch"))
+    return jax.jit(lambda x: fn(x), in_shardings=in_sharding, out_shardings=out_sharding)
+
+
+def upscale_batch_sharded(
+    frames: np.ndarray, out_h: int, out_w: int, algorithm: str, mesh: Mesh | None = None
+) -> jax.Array:
+    """Upscale [N, H, W, 4] frames data-parallel across the mesh — the
+    TPU-native `upscale_batch` (rayon replacement)."""
+    if mesh is None:
+        mesh = make_mesh()
+    n = frames.shape[0]
+    size = mesh.devices.size
+    pad = (-n) % size
+    if pad:
+        frames = np.concatenate([frames, np.repeat(frames[-1:], pad, axis=0)])
+    fn = shard_batch_resampler(
+        mesh, frames.shape[1], frames.shape[2], out_h, out_w, algorithm
+    )
+    out = fn(jnp.asarray(frames))
+    return out[:n] if pad else out
+
+
+@functools.lru_cache(maxsize=64)
+def shard_spatial_resampler(
+    mesh_key, in_h: int, in_w: int, out_h: int, out_w: int, algorithm: str
+):
+    """Single-frame resample with output rows sharded across chips (sp).
+
+    shard_map over the `batch` axis reused as a row axis: chip k computes
+    output rows [k*OH/D, (k+1)*OH/D) from the replicated input. The vertical
+    weight matrix is sharded by rows; the horizontal one is replicated.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    mesh = mesh_key
+    algorithm = _resample.normalize_algorithm(algorithm)
+    ndev = mesh.devices.size
+    if out_h % ndev:
+        raise ValueError(f"out_h {out_h} not divisible by mesh size {ndev}")
+    if algorithm in ("nearest", "bilinear"):
+        # row-block gather kernels: each shard computes its slice of output
+        # rows directly from the replicated input
+        def body(img):  # img replicated [H, W, 4]
+            idx = jax.lax.axis_index("batch")
+            rows = out_h // ndev
+            fn = _resample.make_resampler(in_h, in_w, out_h, out_w, algorithm)
+            full = fn(img)  # XLA DCEs the rows this shard doesn't keep
+            return jax.lax.dynamic_slice_in_dim(full, idx * rows, rows, axis=0)
+
+        sharded = shard_map(
+            body,
+            mesh=mesh,
+            in_specs=P(),
+            out_specs=P("batch"),
+        )
+        return jax.jit(sharded)
+
+    wv = jnp.asarray(_resample._axis_weights(in_h, out_h, algorithm))
+    wh = jnp.asarray(_resample._axis_weights(in_w, out_w, algorithm))
+
+    def body(wv_shard, img):
+        f = img.astype(jnp.float32) * (1.0 / 255.0)
+        tmp = jnp.einsum("oi,iwc->owc", wv_shard, f, precision=jax.lax.Precision.HIGHEST)
+        out = jnp.einsum("pw,owc->opc", wh, tmp, precision=jax.lax.Precision.HIGHEST)
+        return jnp.trunc(jnp.clip(out, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+    sharded = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P("batch", None), P()),
+        out_specs=P("batch"),
+    )
+    return jax.jit(lambda img: sharded(wv, img))
+
+
+def upscale_frame_spatial(
+    frame: np.ndarray, out_h: int, out_w: int, algorithm: str, mesh: Mesh | None = None
+) -> jax.Array:
+    if mesh is None:
+        mesh = make_mesh()
+    fn = shard_spatial_resampler(
+        mesh, frame.shape[0], frame.shape[1], out_h, out_w, algorithm
+    )
+    return fn(jnp.asarray(frame))

@@ -1,0 +1,145 @@
+"""Double-buffered host↔device streaming — the TPU replacement for the
+reference's buffer-pool + blocking staging-buffer readback
+(upscale/mod.rs:973-1055, SURVEY §3.1) and its QTimer live loop (§3.3).
+
+Key idea: JAX dispatch is asynchronous. `device_put` of frame N+1 and the
+jitted pipeline call on frame N overlap automatically as long as the host
+never blocks between them; the only synchronization point is fetching frame
+N-1's output. `FramePipeline.process` rotates those three stages, so H2D,
+compute and D2H all overlap — the reference's round-robin triple buffer pool
+(3 in-flight slots) expressed the XLA way.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Iterable, Iterator, Optional
+
+import jax
+import numpy as np
+
+
+class FramePipeline:
+    """Software-pipelined frame processor.
+
+    fn: compiled device function (u8 array in → u8 array out, device-resident)
+    depth: number of frames in flight (2 = double buffering, 3 = triple;
+           maps from AllocationStrategy.buffers_in_flight)
+    """
+
+    def __init__(self, fn: Callable, device=None, depth: int = 2) -> None:
+        self.fn = fn
+        self.device = device or jax.devices()[0]
+        self.depth = max(1, depth)
+        self._inflight: list[jax.Array] = []
+
+    def put(self, frame: np.ndarray) -> Optional[jax.Array]:
+        """Feed one frame; returns a *completed* output once the pipeline is
+        full, else None (still filling)."""
+        dev_frame = jax.device_put(frame, self.device)
+        out = self.fn(dev_frame)  # dispatched, not blocked
+        self._inflight.append(out)
+        if len(self._inflight) > self.depth:
+            done = self._inflight.pop(0)
+            return done
+        return None
+
+    def drain(self) -> Iterator[jax.Array]:
+        while self._inflight:
+            yield self._inflight.pop(0)
+
+    def process_stream(self, frames: Iterable[np.ndarray]) -> Iterator[np.ndarray]:
+        for f in frames:
+            out = self.put(f)
+            if out is not None:
+                yield np.asarray(out)
+        for out in self.drain():
+            yield np.asarray(out)
+
+
+class LivePipeline:
+    """The live tick (§3.3) fused for TPU: capture → [interpolate prev/cur] →
+    upscale, with double-buffered transfers.
+
+    Per input frame the pipeline emits `2` output frames when interpolation is
+    on (the mid frame and the current frame — 30→60 fps frame generation), or
+    1 otherwise.
+    """
+
+    def __init__(
+        self,
+        upscale_fn: Callable,
+        interp_fn: Optional[Callable] = None,
+        device=None,
+        depth: int = 2,
+    ) -> None:
+        self.upscale_fn = upscale_fn
+        self.interp_fn = interp_fn
+        self.device = device or jax.devices()[0]
+        self.depth = max(1, depth)
+        self._prev: Optional[jax.Array] = None
+        self._inflight: list[tuple] = []
+        self.frames_in = 0
+        self.frames_out = 0
+
+    def put(self, frame: np.ndarray) -> list[np.ndarray]:
+        """Feed one captured frame; returns 0+ completed output frames."""
+        cur = jax.device_put(frame, self.device)
+        outs: list = []
+        if self.interp_fn is not None and self._prev is not None:
+            mid = self.interp_fn(self._prev, cur, 0.5)
+            outs.append(self.upscale_fn(mid))
+        outs.append(self.upscale_fn(cur))
+        self._prev = cur
+        self.frames_in += 1
+        self._inflight.append(tuple(outs))
+        ready: list[np.ndarray] = []
+        if len(self._inflight) > self.depth:
+            for o in self._inflight.pop(0):
+                ready.append(np.asarray(o))
+                self.frames_out += 1
+        return ready
+
+    def drain(self) -> list[np.ndarray]:
+        ready = []
+        while self._inflight:
+            for o in self._inflight.pop(0):
+                ready.append(np.asarray(o))
+                self.frames_out += 1
+        return ready
+
+
+def benchmark_live_pipeline(
+    upscale_fn: Callable,
+    interp_fn: Optional[Callable],
+    frames: list[np.ndarray],
+    warmup: int = 4,
+    depth: int = 2,
+) -> dict:
+    """Throughput/latency of the fused live pipeline over a frame sequence.
+
+    Returns output-frames/sec and per-input-step latency percentiles.
+    """
+    pipe = LivePipeline(upscale_fn, interp_fn, depth=depth)
+    # warm-up (compile + pipeline fill)
+    for f in frames[:warmup]:
+        pipe.put(f)
+    pipe.drain()
+
+    pipe.frames_out = 0
+    step_times = []
+    t0 = time.perf_counter()
+    for f in frames[warmup:]:
+        s0 = time.perf_counter()
+        pipe.put(f)
+        step_times.append((time.perf_counter() - s0) * 1000.0)
+    pipe.drain()
+    total = time.perf_counter() - t0
+    n_out = pipe.frames_out
+    return {
+        "output_frames": n_out,
+        "seconds": total,
+        "fps": n_out / total if total > 0 else float("inf"),
+        "p50_step_ms": float(np.percentile(step_times, 50)) if step_times else 0.0,
+        "p99_step_ms": float(np.percentile(step_times, 99)) if step_times else 0.0,
+    }

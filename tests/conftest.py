@@ -7,7 +7,10 @@ adapters (SURVEY §4): deterministic, always available, no real chips needed.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The session env pins JAX_PLATFORMS=axon (the real TPU tunnel) and a
+# sitecustomize re-appends it; tests must run on the virtual 8-device CPU
+# mesh, so override both the env var and the live config.
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,6 +21,10 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,209 @@
+"""API-surface parity tests for the `nu_scaler_core` facade.
+
+These port the reference's manual acceptance scripts (SURVEY §4):
+`nu_scaler_py/test_basic.py` (gradient 2x bilinear upscale),
+`nu_scaler_core/upscale_test.py`, `test_interpolator.py`, plus the byte/
+error-message contracts of lib.rs.
+"""
+
+import numpy as np
+import pytest
+
+import nu_scaler_core as nsc
+from nu_scaler_tpu.kernels import reference as ref
+from nu_scaler_tpu.ops.metrics import psnr
+
+
+def test_module_surface():
+    """Everything the reference pymodule registers (lib.rs:743-812) exists."""
+    for name in [
+        "PyWgpuUpscaler",
+        "PyAdvancedWgpuUpscaler",
+        "PyScreenCapture",
+        "PyCaptureTarget",
+        "PyWindowByTitle",
+        "PyRegion",
+        "PyVramStats",
+        "PyBenchmarkResult",
+        "WgpuFrameInterpolator",
+        "create_advanced_upscaler",
+        "create_fsr_upscaler",
+        "create_best_upscaler",
+        "py_benchmark_upscaler",
+        "py_run_comparison_benchmark",
+        "QUALITY_ULTRA",
+        "QUALITY_QUALITY",
+        "QUALITY_BALANCED",
+        "QUALITY_PERFORMANCE",
+        "TECH_FSR",
+        "TECH_DLSS",
+        "TECH_WGPU",
+        "TECH_FALLBACK",
+        "VENDOR_NVIDIA",
+        "VENDOR_AMD",
+        "VENDOR_INTEL",
+        "VENDOR_OTHER",
+    ]:
+        assert hasattr(nsc, name), f"missing export: {name}"
+
+
+def test_basic_upscale_flow(pattern):
+    """The test_basic.py acceptance path: 320x240 gradient → 2x bilinear."""
+    img = pattern(320, 240)
+    up = nsc.PyWgpuUpscaler("quality", "bilinear")
+    up.initialize(320, 240, 640, 480)
+    out = up.upscale(img.tobytes())
+    assert isinstance(out, bytes) and len(out) == 640 * 480 * 4
+    out_arr = np.frombuffer(out, np.uint8).reshape(480, 640, 4)
+    golden = ref.bilinear_ref(img, 480, 640)
+    assert psnr(out_arr, golden) >= 50.0
+
+
+def test_upscaler_ctor_defaults_and_fallbacks():
+    up = nsc.PyWgpuUpscaler()
+    assert up.name == "WgpuUpscaler"
+    assert up.algorithm == "nearest"
+    assert up.upscale_scale == 2.0
+    # silent fallback parsing (lib.rs:50-62)
+    up2 = nsc.PyWgpuUpscaler("bogus-quality", "bogus-algo")
+    assert up2.algorithm == "nearest"
+    # extended algorithm set
+    up3 = nsc.PyWgpuUpscaler("ultra", "lanczos3")
+    assert up3.algorithm == "lanczos3"
+
+
+def test_scale_clamp():
+    up = nsc.PyWgpuUpscaler()
+    up.upscale_scale = 3.5
+    assert up.upscale_scale == 3.5
+    with pytest.raises(ValueError, match="Scale factor must be between 1.0 and 4.0"):
+        up.upscale_scale = 0.5
+    with pytest.raises(ValueError, match="Scale factor must be between 1.0 and 4.0"):
+        up.upscale_scale = 4.5
+
+
+def test_initialize_sets_mean_scale():
+    up = nsc.PyWgpuUpscaler()
+    up.initialize(100, 100, 300, 100)  # ws=3, hs=1 → mean 2
+    assert up.upscale_scale == pytest.approx(2.0)
+
+
+def test_uninitialized_error():
+    up = nsc.PyWgpuUpscaler()
+    with pytest.raises(RuntimeError, match="Upscaler not initialized"):
+        up.upscale(b"\x00" * 16)
+
+
+def test_size_mismatch_error(pattern):
+    up = nsc.PyWgpuUpscaler("quality", "nearest")
+    up.initialize(32, 24, 64, 48)
+    with pytest.raises(RuntimeError, match="does not match expected input buffer size"):
+        up.upscale(b"\x00" * 100)
+
+
+def test_upscale_batch(pattern):
+    up = nsc.PyWgpuUpscaler("quality", "bilinear")
+    up.initialize(32, 24, 64, 48)
+    frames = [pattern(32, 24).tobytes() for _ in range(4)]
+    outs = up.upscale_batch(frames)
+    assert len(outs) == 4
+    assert all(len(o) == 64 * 48 * 4 for o in outs)
+    assert outs[0] == up.upscale(frames[0])
+
+
+def test_compat_knobs(tmp_path):
+    up = nsc.PyWgpuUpscaler()
+    up.set_thread_count(8)
+    up.set_buffer_pool_size(4)
+    up.set_gpu_allocator("aggressive")
+    up.initialize(16, 16, 32, 32)
+    up.reload_shader(str(tmp_path / "fake.wgsl"))  # recompile hook, no error
+    out = up.upscale(b"\x01" * (16 * 16 * 4))
+    assert len(out) == 32 * 32 * 4
+
+
+def test_advanced_upscaler(pattern):
+    up = nsc.create_advanced_upscaler("quality")
+    up.initialize(64, 48, 128, 96)
+    img = pattern(64, 48)
+    out = up.upscale(img.tobytes())
+    assert len(out) == 128 * 96 * 4
+    stats = up.get_vram_stats()
+    assert stats.total_mb > 0
+    assert 0.0 <= stats.usage_percent <= 100.0
+    assert isinstance(up.get_vram_usage_percent(), float)
+    info = up.get_gpu_info()
+    for key in [
+        "name", "vendor", "device_type", "backend", "vendor_id", "device_id",
+        "driver_info", "is_discrete", "allocated_buffers", "allocated_bytes",
+        "total_vram_mb", "used_vram_mb", "free_vram_mb",
+    ]:
+        assert key in info, f"get_gpu_info missing {key}"
+    assert up.adaptive_quality is True
+    up.adaptive_quality = False
+    assert up.adaptive_quality is False
+    assert up.get_quality_str() == "quality"
+    up.quality = "ultra"
+    assert up.get_quality_str() == "ultra"
+    up.set_memory_strategy("aggressive")
+    up.update_gpu_stats()
+    up.cleanup_memory()
+    up.force_cleanup()
+    up.force_gpu_activation()
+
+
+def test_create_best_upscaler():
+    up = nsc.create_best_upscaler("balanced")
+    assert isinstance(up, nsc.PyAdvancedWgpuUpscaler)
+
+
+def test_fsr_upscaler_works(pattern):
+    """The reference raised NotImplementedError here (lib.rs:788-805)."""
+    up = nsc.create_fsr_upscaler("quality")
+    up.initialize(32, 24, 64, 48)
+    out = up.upscale(pattern(32, 24).tobytes())
+    assert len(out) == 64 * 48 * 4
+    assert up.name == "FsrUpscaler"
+
+
+def test_interpolator_parity(pattern):
+    """test_interpolator.py acceptance: red/blue square blend at 64x64."""
+    interp = nsc.WgpuFrameInterpolator()
+    a = np.zeros((64, 64, 4), np.uint8)
+    a[..., 0] = 255
+    a[..., 3] = 255
+    b = np.zeros((64, 64, 4), np.uint8)
+    b[..., 2] = 255
+    b[..., 3] = 255
+    out = interp.interpolate_py(a.tobytes(), b.tobytes(), 64, 64, time_t=0.5)
+    assert len(out) == 64 * 64 * 4
+    arr = np.frombuffer(out, np.uint8).reshape(64, 64, 4)
+    assert np.all(arr[..., 0] == 128) and np.all(arr[..., 2] == 128)
+    assert interp.get_last_gpu_duration_ms() is not None
+    assert interp.get_last_gpu_duration_ms() >= 0.0
+
+
+def test_interpolator_size_validation():
+    interp = nsc.WgpuFrameInterpolator()
+    with pytest.raises(ValueError, match="Expected 16384 bytes per frame"):
+        interp.interpolate_py(b"\x00" * 100, b"\x00" * 16384, 64, 64)
+
+
+def test_interpolator_presets():
+    assert nsc.WgpuFrameInterpolator("16x16").workgroup_preset == (16, 16)
+    assert nsc.WgpuFrameInterpolator("wide").workgroup_preset == (32, 8)
+    assert nsc.WgpuFrameInterpolator("bogus").workgroup_preset == (32, 8)  # default
+    assert nsc.WgpuFrameInterpolator().workgroup_preset == (32, 8)
+
+
+def test_interpolator_flow_mode():
+    interp = nsc.WgpuFrameInterpolator(mode="flow")
+    a = np.random.default_rng(0).integers(0, 256, (32, 32, 4), np.uint8)
+    b = np.roll(a, 2, axis=1)
+    out = interp.interpolate_py(a.tobytes(), b.tobytes(), 32, 32)
+    assert len(out) == 32 * 32 * 4
+
+
+def test_constants_usable_as_ctor_args():
+    up = nsc.PyWgpuUpscaler(nsc.QUALITY_ULTRA, "bilinear")
+    assert up._quality == nsc.UpscalingQuality.ULTRA

@@ -1,0 +1,49 @@
+"""Multi-device sharding on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from nu_scaler_tpu.parallel import mesh as pmesh
+from nu_scaler_tpu.ops import resample
+from nu_scaler_tpu.ops.metrics import psnr
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual CPU devices"
+
+
+def test_batch_sharded_matches_single(rng):
+    m = pmesh.make_mesh()
+    frames = rng.integers(0, 256, (8, 24, 32, 4), np.uint8)
+    out = np.asarray(pmesh.upscale_batch_sharded(frames, 48, 64, "lanczos3", m))
+    single_fn = resample.make_resampler(24, 32, 48, 64, "lanczos3")
+    for i in range(8):
+        # different compiled programs may flip trunc-boundary pixels by 1
+        np.testing.assert_allclose(
+            out[i].astype(int), np.asarray(single_fn(frames[i])).astype(int), atol=1
+        )
+
+
+def test_batch_sharded_pads_ragged(rng):
+    m = pmesh.make_mesh()
+    frames = rng.integers(0, 256, (5, 16, 16, 4), np.uint8)  # 5 not divisible by 8
+    out = np.asarray(pmesh.upscale_batch_sharded(frames, 32, 32, "bilinear", m))
+    assert out.shape == (5, 32, 32, 4)
+
+
+@pytest.mark.parametrize("algo", ["bilinear", "lanczos3"])
+def test_spatial_sharded_matches_single(rng, algo):
+    m = pmesh.make_mesh()
+    frame = rng.integers(0, 256, (24, 32, 4), np.uint8)
+    out = np.asarray(pmesh.upscale_frame_spatial(frame, 48, 64, algo, m))
+    single = np.asarray(resample.upscale_frame(frame, 48, 64, algo))
+    assert psnr(out, single) >= 50.0
+    np.testing.assert_allclose(out.astype(int), single.astype(int), atol=1)
+
+
+def test_spatial_rejects_indivisible(rng):
+    m = pmesh.make_mesh()
+    frame = rng.integers(0, 256, (24, 32, 4), np.uint8)
+    with pytest.raises(ValueError, match="not divisible"):
+        pmesh.shard_spatial_resampler(m, 24, 32, 50, 64, "lanczos3")

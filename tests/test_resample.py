@@ -71,7 +71,15 @@ def test_batch_matches_single(rng):
     batched = np.asarray(fn(imgs))
     for i in range(3):
         single = np.asarray(fn(imgs[i]))
-        np.testing.assert_array_equal(batched[i], single)
+        # batched and unbatched compile to different contraction orders; a
+        # trunc-boundary pixel may flip by 1
+        np.testing.assert_allclose(
+            batched[i].astype(int), single.astype(int), atol=1
+        )
+    fn_nn = resample.make_resampler(24, 32, 48, 64, "nearest")
+    np.testing.assert_array_equal(
+        np.asarray(fn_nn(imgs))[1], np.asarray(fn_nn(imgs[1]))
+    )
 
 
 def test_normalize_algorithm():
