@@ -74,10 +74,22 @@ class ScreenCapture:
             self.stop()
         source = self._make_source(target)
         self.target = target
-        self._ring = _src.FrameRing()
+        self._ring = self._new_ring()
         self._producer = _src.ProducerThread(source, self._ring, fps=self.fps)
         self._producer.start()
         self.is_capturing = True
+
+    @staticmethod
+    def _new_ring():
+        """Prefer the native C++ ring (GIL-light copies); Python fallback."""
+        try:
+            from nu_scaler_tpu.runtime.framering import NativeFrameRing, native_available
+
+            if native_available():
+                return NativeFrameRing(capacity=5)
+        except Exception:  # noqa: BLE001
+            pass
+        return _src.FrameRing()
 
     def _make_source(self, target: CaptureTarget) -> _src.FrameSource:
         def fullscreen() -> _src.FrameSource:

@@ -126,11 +126,18 @@ def _kernel_lanczos(x: np.ndarray, a: int) -> np.ndarray:
     return np.where(np.abs(x) < a, out, 0.0)
 
 
+def _kernel_triangle(x: np.ndarray) -> np.ndarray:
+    return np.maximum(0.0, 1.0 - np.abs(x))
+
+
 _FILTERS = {
     "bicubic": (_kernel_bicubic, 2.0),
     "mitchell": (_kernel_mitchell, 2.0),
     "lanczos2": (lambda x: _kernel_lanczos(x, 2), 2.0),
     "lanczos3": (lambda x: _kernel_lanczos(x, 3), 3.0),
+    # center-aligned bilinear (texture-sampler convention); used for flow
+    # upsampling, not exposed through the algorithm strings
+    "bilinear_center": (_kernel_triangle, 1.0),
 }
 
 

@@ -46,6 +46,28 @@ def _clamp_take(arr: jax.Array, idx: jax.Array, axis: int) -> jax.Array:
     return jnp.take(arr, jnp.clip(idx, 0, arr.shape[axis] - 1), axis=axis)
 
 
+def _shift_edge(arr: jax.Array, d: int, axis: int) -> jax.Array:
+    """out[i] = arr[clip(i+d, 0, n-1)] along `axis` via edge-pad + slice.
+
+    Replaces index-array `take` for constant shifts: gathers are pathologically
+    slow on TPU, pad+slice compiles to pure data movement that XLA fuses.
+    """
+    if d == 0:
+        return arr
+    n = arr.shape[axis]
+    axis = axis % arr.ndim
+    pads = [(0, 0)] * arr.ndim
+    pads[axis] = (max(0, -d), max(0, d))
+    padded = jnp.pad(arr, pads, mode="edge")
+    start = [0] * arr.ndim
+    start[axis] = max(0, -d) + d  # == d if d>0 else 0
+    idx = tuple(
+        slice(start[a], start[a] + (n if a == axis else arr.shape[a]))
+        for a in range(arr.ndim)
+    )
+    return padded[idx]
+
+
 # ---------------------------------------------------------------------------
 # Pyramid
 # ---------------------------------------------------------------------------
@@ -55,11 +77,8 @@ def gaussian_blur(img: jax.Array) -> jax.Array:
     """Separable 5-tap 1-4-6-4-1/16 blur, clamp-to-edge
     (gaussian_blur_h.wgsl:18-51 + the V pass)."""
     w = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0], dtype=img.dtype) / 16.0
-    h_, w_ = img.shape[-3], img.shape[-2]
-    xs = jnp.arange(w_)
-    out = sum(w[k] * _clamp_take(img, xs + (k - 2), axis=-2) for k in range(5))
-    ys = jnp.arange(h_)
-    out = sum(w[k] * _clamp_take(out, ys + (k - 2), axis=-3) for k in range(5))
+    out = sum(w[k] * _shift_edge(img, k - 2, axis=-2) for k in range(5))
+    out = sum(w[k] * _shift_edge(out, k - 2, axis=-3) for k in range(5))
     return out
 
 
@@ -94,22 +113,16 @@ def build_pyramid(img_f: jax.Array, levels: int) -> list[jax.Array]:
 
 def _box3_avg(flow: jax.Array) -> jax.Array:
     """3×3 clamped box average (incl. center), horn_schunck.wgsl:27-50."""
-    h, w = flow.shape[-3], flow.shape[-2]
-    ys = jnp.arange(h)
-    xs = jnp.arange(w)
-    rows = sum(_clamp_take(flow, ys + d, axis=-3) for d in (-1, 0, 1))
-    total = sum(_clamp_take(rows, xs + d, axis=-2) for d in (-1, 0, 1))
+    rows = sum(_shift_edge(flow, d, axis=-3) for d in (-1, 0, 1))
+    total = sum(_shift_edge(rows, d, axis=-2) for d in (-1, 0, 1))
     return total / 9.0
 
 
 def _gradients(lum: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Central differences with the WGSL's clamped indexing
     (horn_schunck.wgsl:61-72): x±1 clamped to [0, size-1]."""
-    h, w = lum.shape[-2], lum.shape[-1]
-    xs = jnp.arange(w)
-    ys = jnp.arange(h)
-    ix = (_clamp_take(lum, xs + 1, axis=-1) - _clamp_take(lum, xs - 1, axis=-1)) * 0.5
-    iy = (_clamp_take(lum, ys + 1, axis=-2) - _clamp_take(lum, ys - 1, axis=-2)) * 0.5
+    ix = (_shift_edge(lum, 1, axis=-1) - _shift_edge(lum, -1, axis=-1)) * 0.5
+    iy = (_shift_edge(lum, 1, axis=-2) - _shift_edge(lum, -1, axis=-2)) * 0.5
     return ix, iy
 
 
@@ -144,22 +157,9 @@ def flow_upsample(flow: jax.Array, out_h: int, out_w: int) -> jax.Array:
     (flow_upsample.wgsl:25-35). Does NOT rescale the vectors — parity with the
     reference, which also leaves magnitudes unscaled; the caller applies the
     ×2 magnitude scaling (`upsample_scale`)."""
-    in_h, in_w = flow.shape[-3], flow.shape[-2]
-    fx = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * (in_w / out_w) - 0.5
-    fy = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) * (in_h / out_h) - 0.5
-    x0 = jnp.floor(fx).astype(jnp.int32)
-    y0 = jnp.floor(fy).astype(jnp.int32)
-    dx = (fx - x0)[:, None]
-    dy = (fy - y0)[:, None, None]
-    r0 = _clamp_take(flow, y0, axis=-3)
-    r1 = _clamp_take(flow, y0 + 1, axis=-3)
-    c00 = _clamp_take(r0, x0, axis=-2)
-    c10 = _clamp_take(r0, x0 + 1, axis=-2)
-    c01 = _clamp_take(r1, x0, axis=-2)
-    c11 = _clamp_take(r1, x0 + 1, axis=-2)
-    c0 = c00 + dx * (c10 - c00)
-    c1 = c01 + dx * (c11 - c01)
-    return c0 + dy * (c1 - c0)
+    from nu_scaler_tpu.ops import resample as _resample
+
+    return _resample.resize_f32(flow, out_h, out_w, "bilinear_center")
 
 
 def flow_refine(
@@ -185,8 +185,6 @@ def flow_refine(
     den = alpha * alpha + ix * ix + iy * iy
     gx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     gy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-    xs = jnp.arange(w)
-    ys = jnp.arange(h)
     lum2c = lum2[..., None]  # channel dim for the bilinear sampler
 
     def step(_, f):
@@ -201,8 +199,8 @@ def flow_refine(
             it = lum2[wy, wx] - lum1
         num = ix * f[..., 0] + iy * f[..., 1] + it
         scale = jnp.where(jnp.abs(den) > 1e-6, num / den, 0.0)
-        lap_rows = _clamp_take(f, ys + 1, axis=-3) + _clamp_take(f, ys - 1, axis=-3)
-        lap_cols = _clamp_take(f, xs + 1, axis=-2) + _clamp_take(f, xs - 1, axis=-2)
+        lap_rows = _shift_edge(f, 1, axis=-3) + _shift_edge(f, -1, axis=-3)
+        lap_cols = _shift_edge(f, 1, axis=-2) + _shift_edge(f, -1, axis=-2)
         lap = (lap_rows + lap_cols) * 0.25 - f
         upd = jnp.stack((scale * ix, scale * iy), axis=-1)
         return f - upd + alpha * lap

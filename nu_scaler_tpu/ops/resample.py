@@ -289,6 +289,27 @@ def make_resampler(
     return jax.jit(fn)
 
 
+def resize_f32(x: jax.Array, out_h: int, out_w: int, algorithm: str = "bilinear_center") -> jax.Array:
+    """Float resize (no u8 pack/unpack) on [..., H, W, C] via the banded MXU
+    path — used for flow fields and other float planes. Center-aligned
+    bilinear by default (texture-sampler convention, flow_upsample.wgsl:25-35).
+    Falls back to dense weights for non-tiling scales.
+    """
+    in_h, in_w = x.shape[-3], x.shape[-2]
+    prec = jax.lax.Precision.HIGHEST
+    bv = _banded_axis(in_h, out_h, algorithm)
+    bh = _banded_axis(in_w, out_w, algorithm)
+    if bv is not None and bh is not None:
+        out = _banded_pass_first_axis(x, bv, prec)[..., :out_h, :, :]
+        out = jnp.swapaxes(out, -3, -2)
+        out = _banded_pass_first_axis(out, bh, prec)[..., :out_w, :, :]
+        return jnp.swapaxes(out, -3, -2)
+    wv = jnp.asarray(_axis_weights(in_h, out_h, algorithm))
+    wh = jnp.asarray(_axis_weights(in_w, out_w, algorithm))
+    tmp = jnp.einsum("oi,...iwc->...owc", wv, x, precision=prec)
+    return jnp.einsum("pw,...owc->...opc", wh, tmp, precision=prec)
+
+
 def upscale_frame(img_u8, out_h: int, out_w: int, algorithm: str = "bilinear") -> jax.Array:
     """One-shot convenience; compiles per (shape, algorithm) and caches."""
     img_u8 = jnp.asarray(img_u8, dtype=jnp.uint8)
