@@ -89,8 +89,8 @@ def pipeline_body(mode: str):
         mid_fn = interp_ops.blend_only
     else:
         def mid_fn(a, b, t):
-            flow = interp_ops.compute_flow(a, b)
-            return interp_ops.warp_blend(a, b, flow, t)
+            flow = interp_ops.compute_flow_fast(a, b)
+            return interp_ops.warp_blend_fast(a, b, flow, t)
 
     def body(state):
         prev, cur = state

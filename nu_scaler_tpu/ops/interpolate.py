@@ -266,6 +266,153 @@ def blend_only(frame_a: jax.Array, frame_b: jax.Array, time_t: float | jax.Array
 
 
 # ---------------------------------------------------------------------------
+# Gather-free block motion compensation (production path)
+# ---------------------------------------------------------------------------
+#
+# Per-pixel backward warping is a gather, and gathers (XLA or Mosaic
+# `tpu.dynamic_gather`) are pathologically slow / unsupported on this TPU
+# generation. The TPU-native warp used in production:
+#
+#   1. average flow per (8, 128) tile — the model of the reference's legacy
+#      BlockMatchingInterpolator (SURVEY C11),
+#   2. histogram the tiles' integer offsets and keep the top-K candidates
+#      (`lax.top_k`), assign every tile its nearest candidate,
+#   3. for each candidate: ONE `dynamic_slice` of the edge-padded image
+#      (a contiguous copy, no gather), a 2×2 static-shift subpixel lerp with
+#      per-tile fractions, and a masked accumulate.
+#
+# Cost: K copies of the frame + elementwise math — bandwidth-bound, no
+# gathers anywhere.
+
+WARP_TILE = (8, 128)
+WARP_RANGE = 24  # max |motion| in pixels the block warp honors
+WARP_K = 8  # candidate offsets per warp
+
+
+def _tile_mean(field: jax.Array, th: int, tw: int) -> jax.Array:
+    h, w = field.shape[0], field.shape[1]
+    ty, tx = h // th, w // tw
+    v = field[: ty * th, : tx * tw]
+    return v.reshape(ty, th, tx, tw, *field.shape[2:]).mean(axis=(1, 3))
+
+
+def _tile_to_pixels(tiles: jax.Array, th: int, tw: int, h: int, w: int) -> jax.Array:
+    """[Ty, Tx, ...] → [H, W, ...] by block replication (reshape broadcast)."""
+    ty, tx = tiles.shape[0], tiles.shape[1]
+    rest = tiles.shape[2:]
+    out = jnp.broadcast_to(
+        tiles[:, None, :, None], (ty, th, tx, tw, *rest)
+    ).reshape(ty * th, tx * tw, *rest)
+    pad_h, pad_w = h - ty * th, w - tx * tw
+    if pad_h or pad_w:
+        out = jnp.pad(out, [(0, pad_h), (0, pad_w)] + [(0, 0)] * len(rest), mode="edge")
+    return out
+
+
+def block_warp(
+    img_f: jax.Array,
+    offset_field: jax.Array,
+    k: int = WARP_K,
+    rng: int = WARP_RANGE,
+) -> jax.Array:
+    """Sample `img_f` [H, W, C] f32 at p + offset(p), block-quantized.
+
+    `offset_field` is a dense [H, W, 2] (x, y) displacement. Gather-free:
+    top-K candidate integer offsets + per-candidate dynamic_slice + per-tile
+    subpixel lerp.
+    """
+    h, w, _ = img_f.shape
+    th, tw = min(WARP_TILE[0], h), min(WARP_TILE[1], w)  # small pyramid levels
+    tiles = _tile_mean(offset_field, th, tw)  # [Ty, Tx, 2]
+    tiles = jnp.clip(tiles, -rng, rng)
+    ty, tx = tiles.shape[:2]
+
+    q = jnp.floor(tiles).astype(jnp.int32)  # integer part (x, y)
+    side = 2 * rng + 2
+    ids = (q[..., 1] + rng) * side + (q[..., 0] + rng)  # hash (y, x)
+    hist = jnp.zeros((side * side,), jnp.int32).at[ids.reshape(-1)].add(1)
+    _, top = jax.lax.top_k(hist, k)
+    cand_y = top // side - rng
+    cand_x = top % side - rng
+
+    # nearest candidate per tile (in integer offset space)
+    d2 = (q[..., 1, None] - cand_y) ** 2 + (q[..., 0, None] - cand_x) ** 2
+    assign = jnp.argmin(d2, axis=-1)  # [Ty, Tx]
+    chosen_y = cand_y[assign]
+    chosen_x = cand_x[assign]
+    fry = jnp.clip(tiles[..., 1] - chosen_y, 0.0, 1.0)
+    frx = jnp.clip(tiles[..., 0] - chosen_x, 0.0, 1.0)
+
+    # pixel-level maps
+    assign_px = _tile_to_pixels(assign, th, tw, h, w)
+    fry_px = _tile_to_pixels(fry, th, tw, h, w)[..., None]
+    frx_px = _tile_to_pixels(frx, th, tw, h, w)[..., None]
+
+    pad = rng + 2
+    padded = jnp.pad(img_f, ((pad, pad), (pad, pad), (0, 0)), mode="edge")
+
+    out = jnp.zeros_like(img_f)
+    for i in range(k):
+        base = jax.lax.dynamic_slice(
+            padded,
+            (pad + cand_y[i], pad + cand_x[i], 0),
+            (h + 1, w + 1, img_f.shape[2]),
+        )
+        top_row = base[:h, :w] + frx_px * (base[:h, 1:] - base[:h, :w])
+        bot_row = base[1:, :w] + frx_px * (base[1:, 1:] - base[1:, :w])
+        val = top_row + fry_px * (bot_row - top_row)
+        out = out + jnp.where((assign_px == i)[..., None], val, 0.0)
+    return out
+
+
+def warp_blend_fast(
+    frame_a: jax.Array, frame_b: jax.Array, flow: jax.Array, time_t
+) -> jax.Array:
+    """Block-motion-compensated mix(a, b, t); gather-free production version
+    of warp_blend (u8 in/out)."""
+    t = jnp.asarray(time_t, jnp.float32)
+    a = frame_a.astype(jnp.float32)
+    b = frame_b.astype(jnp.float32)
+    va = block_warp(a, -t * flow)
+    vb = block_warp(b, (1.0 - t) * flow)
+    out = (va + (vb - va) * t) * (1.0 / 255.0)
+    return jnp.clip(jnp.round(out * 255.0), 0, 255).astype(jnp.uint8)
+
+
+def compute_flow_fast(
+    frame_a: jax.Array,
+    frame_b: jax.Array,
+    levels: int = DEFAULT_PYRAMID_LEVELS,
+    coarse_iters: int = DEFAULT_COARSE_ITERS,
+    refine_iters: int = 8,
+    lam: float = DEFAULT_LAMBDA,
+) -> jax.Array:
+    """Gather-free coarse-to-fine flow.
+
+    At each finer level, B is block-warped toward A by the upsampled flow and
+    plain Horn–Schunck runs on the residual (displacement ≤ ~2 px after
+    warping, where HS's linearization is valid). flow_total = up(flow) +
+    residual. No per-pixel gathers anywhere.
+    """
+    a = frame_a.astype(jnp.float32) * (1.0 / 255.0)
+    b = frame_b.astype(jnp.float32) * (1.0 / 255.0)
+    lums_a = [luminance(p) for p in build_pyramid(a, levels)]
+    lums_b = [luminance(p) for p in build_pyramid(b, levels)]
+
+    flow = jnp.zeros(lums_a[-1].shape + (2,), jnp.float32)
+    flow = horn_schunck(lums_a[-1], lums_b[-1], flow, coarse_iters, lam)
+
+    for lvl in range(levels - 2, -1, -1):
+        th, tw = lums_a[lvl].shape[-2], lums_a[lvl].shape[-1]
+        flow = flow_upsample(flow, th, tw) * 2.0
+        b_warp = block_warp(lums_b[lvl][..., None], flow)[..., 0]
+        residual = jnp.zeros_like(flow)
+        residual = horn_schunck(lums_a[lvl], b_warp, residual, refine_iters, lam)
+        flow = flow + residual
+    return flow
+
+
+# ---------------------------------------------------------------------------
 # Full pipeline
 # ---------------------------------------------------------------------------
 
@@ -324,6 +471,14 @@ def make_interpolator(
             return blend_only(a, b, t)
 
     elif mode == "flow":
+        # production: gather-free block-MC pipeline
+
+        def fn(a, b, t):
+            flow = compute_flow_fast(a, b, levels, coarse_iters)
+            return warp_blend_fast(a, b, flow, t)
+
+    elif mode == "flow_exact":
+        # per-pixel gather warp — golden-parity path (slow on TPU)
 
         def fn(a, b, t):
             flow = compute_flow(a, b, levels, coarse_iters, refine_iters)

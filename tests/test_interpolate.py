@@ -130,6 +130,45 @@ def test_uniform_shift_flow_recovery():
     assert abs(inner[..., 1].mean()) < 0.5
 
 
+def test_block_warp_uniform_integer_shift(rng):
+    """block_warp with a uniform integer offset must be an exact shift
+    (away from edges)."""
+    import jax.numpy as jnp
+    from nu_scaler_tpu.ops.interpolate import block_warp
+
+    img = rng.random((32, 256, 3)).astype(np.float32)
+    off = np.tile(np.array([3.0, 2.0], np.float32), (32, 256, 1))  # (x=3, y=2)
+    out = np.asarray(block_warp(jnp.asarray(img), jnp.asarray(off)))
+    np.testing.assert_allclose(out[:-2, :-3], img[2:, 3:], atol=1e-5)
+
+
+def test_block_warp_subpixel(rng):
+    """Half-pixel uniform offset = average of neighbors."""
+    import jax.numpy as jnp
+    from nu_scaler_tpu.ops.interpolate import block_warp
+
+    img = rng.random((16, 128, 1)).astype(np.float32)
+    off = np.tile(np.array([0.5, 0.0], np.float32), (16, 128, 1))
+    out = np.asarray(block_warp(jnp.asarray(img), jnp.asarray(off)))
+    expected = 0.5 * (img[:, :-1] + img[:, 1:])
+    np.testing.assert_allclose(out[:, :-1], expected, atol=1e-5)
+
+
+def test_fast_flow_uniform_shift():
+    h, w = 48, 128
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = 127.5 + 80 * np.sin(xx * (2 * np.pi / 24)) + 40 * np.sin(yy * (2 * np.pi / 32))
+    fa = np.zeros((h, w, 4), np.uint8)
+    fb = np.zeros((h, w, 4), np.uint8)
+    for c in range(3):
+        fa[..., c] = np.clip(base, 0, 255)
+        fb[..., c] = np.clip(np.roll(base, 2, axis=1), 0, 255)
+    fa[..., 3] = fb[..., 3] = 255
+    fl = np.asarray(interp.compute_flow_fast(fa, fb, levels=3))
+    assert fl[8:-8, 8:-8, 0].mean() > 1.0
+    assert abs(fl[8:-8, 8:-8, 1].mean()) < 0.5
+
+
 def test_flow_mode_beats_blend_on_motion():
     """End-to-end value test: on a moving scene the flow-compensated
     interpolation must beat plain cross-fade vs the true middle frame."""
@@ -151,6 +190,9 @@ def test_flow_mode_beats_blend_on_motion():
     a, mid_true, b = scene(0), scene(3), scene(6)
     out_blend = np.asarray(interp.interpolate_frames(a, b, 0.5, mode="blend"))
     out_flow = np.asarray(interp.interpolate_frames(a, b, 0.5, mode="flow"))
+    out_exact = np.asarray(interp.interpolate_frames(a, b, 0.5, mode="flow_exact"))
     p_blend = psnr(out_blend, mid_true)
     p_flow = psnr(out_flow, mid_true)
+    p_exact = psnr(out_exact, mid_true)
     assert p_flow > p_blend, f"flow {p_flow:.1f} dB should beat blend {p_blend:.1f} dB"
+    assert p_exact > p_blend, f"exact {p_exact:.1f} dB should beat blend {p_blend:.1f} dB"
