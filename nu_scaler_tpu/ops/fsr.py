@@ -35,8 +35,89 @@ def _fsr_cubic(d: jax.Array) -> jax.Array:
     )
 
 
+def _shift2(arr: jax.Array, dy: int, dx: int) -> jax.Array:
+    """out[i,j] = arr[clip(i+dy), clip(j+dx)] via edge-pad + static slice
+    (gather-free; gathers crash/crawl on this TPU backend)."""
+    h, w = arr.shape[0], arr.shape[1]
+    pads = [(max(0, -dy), max(0, dy)), (max(0, -dx), max(0, dx))] + [(0, 0)] * (arr.ndim - 2)
+    p = jnp.pad(arr, pads, mode="edge")
+    y0 = max(0, -dy) + dy
+    x0 = max(0, -dx) + dx
+    return p[y0 : y0 + h, x0 : x0 + w]
+
+
+def easu_polyphase(img_u8: jax.Array, scale: int, sharpness: float) -> jax.Array:
+    """EASU for integer scale factors, polyphase-decomposed: every output
+    phase (φy, φx) ∈ scale² has STATIC tap offsets, so the whole 4×4
+    neighborhood is edge-padded static shifts of the input — no gathers.
+    Bit-matches `easu` / the WGSL semantics (same math, same taps).
+    """
+    in_h, in_w = img_u8.shape[-3], img_u8.shape[-2]
+    rgb = img_u8[..., :3].astype(jnp.float32) * (1.0 / 255.0)
+
+    phases = []
+    for py in range(scale):
+        row = []
+        for px in range(scale):
+            # output pixel (scale*i+py, scale*j+px): inCoord = (o+0.5)/scale
+            icy = (py + 0.5) / scale  # fractional input coord rel. to i
+            icx = (px + 0.5) / scale
+            base_dy = int(np.floor(icy)) - 1  # basePos = trunc(inCoord)-1
+            base_dx = int(np.floor(icx)) - 1
+            fr_y = icy - np.floor(icy)
+            fr_x = icx - np.floor(icx)
+            cy_d = int(np.floor(icy))  # center tap offset (trunc(inCoord))
+            cx_d = int(np.floor(icx))
+
+            up = _shift2(rgb, cy_d - 1, cx_d)
+            dn = _shift2(rgb, cy_d + 1, cx_d)
+            lf = _shift2(rgb, cy_d, cx_d - 1)
+            rt = _shift2(rgb, cy_d, cx_d + 1)
+            vgx = jnp.abs(up - dn).sum(axis=-1) / 3.0
+            vgy = jnp.abs(lf - rt).sum(axis=-1) / 3.0
+            norm = jnp.sqrt((vgx + 1e-4) ** 2 + (vgy + 1e-4) ** 2)
+            dirx = (vgx + 1e-4) / norm
+            diry = (vgy + 1e-4) / norm
+            wx = jnp.abs(dirx) / (jnp.abs(dirx) + jnp.abs(diry))
+            wy = 1.0 - wx
+
+            sum_c = jnp.zeros_like(rgb)
+            sum_w = jnp.zeros_like(wx)
+            for ty in range(4):
+                for tx in range(4):
+                    dist = jnp.abs((tx - fr_x) * wx + (ty - fr_y) * wy)
+                    wgt = _fsr_cubic(dist)
+                    sum_c = sum_c + _shift2(rgb, base_dy + ty, base_dx + tx) * wgt[..., None]
+                    sum_w = sum_w + wgt
+            color = sum_c / jnp.maximum(sum_w, 1e-4)[..., None]
+            if sharpness > 1e-3:
+                center = _shift2(rgb, cy_d, cx_d)
+                color = color + (center - color) * jnp.float32(sharpness)
+            row.append(color)
+        phases.append(row)
+
+    # interleave phases: out[s*i+py, s*j+px] = phases[py][px][i, j]
+    stacked = jnp.stack([jnp.stack(r, axis=0) for r in phases], axis=0)  # [s, s, H, W, 3]
+    out = stacked.transpose(2, 0, 3, 1, 4).reshape(in_h * scale, in_w * scale, 3)
+    rgb_u8 = jnp.trunc(jnp.clip(out, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+    alpha = jnp.full((in_h * scale, in_w * scale, 1), 255, jnp.uint8)
+    return jnp.concatenate([rgb_u8, alpha], axis=-1)
+
+
 def easu(img_u8: jax.Array, out_h: int, out_w: int, sharpness: float) -> jax.Array:
-    """Edge Adaptive Spatial Upsampling (FSR_EASU_SHADER, fsr.rs:103-166)."""
+    """Edge Adaptive Spatial Upsampling (FSR_EASU_SHADER, fsr.rs:103-166).
+
+    Integer scales dispatch to the gather-free polyphase kernel; arbitrary
+    scales use the general (gather-based) form below.
+    """
+    in_h, in_w = img_u8.shape[-3], img_u8.shape[-2]
+    if out_h % in_h == 0 and out_w % in_w == 0 and out_h // in_h == out_w // in_w:
+        return easu_polyphase(img_u8, out_h // in_h, sharpness)
+    return _easu_general(img_u8, out_h, out_w, sharpness)
+
+
+def _easu_general(img_u8: jax.Array, out_h: int, out_w: int, sharpness: float) -> jax.Array:
+    """Arbitrary-scale EASU (gather-based; slow on TPU, fine on CPU)."""
     in_h, in_w = img_u8.shape[-3], img_u8.shape[-2]
     rgb = img_u8[..., :3].astype(jnp.float32) * (1.0 / 255.0)
 
@@ -87,18 +168,12 @@ def rcas(img_u8: jax.Array, sharpness: float) -> jax.Array:
     """Robust Contrast Adaptive Sharpening (FSR_RCAS_SHADER, fsr.rs:215-259)."""
     h, w = img_u8.shape[-3], img_u8.shape[-2]
     rgb = img_u8[..., :3].astype(jnp.float32) * (1.0 / 255.0)
-    ys = jnp.arange(h)
-    xs = jnp.arange(w)
-
-    def shift(dy, dx):
-        out = jnp.take(rgb, jnp.clip(ys + dy, 0, h - 1), axis=-3)
-        return jnp.take(out, jnp.clip(xs + dx, 0, w - 1), axis=-2)
 
     center = rgb
-    top = shift(-1, 0)
-    bottom = shift(1, 0)
-    left = shift(0, -1)
-    right = shift(0, 1)
+    top = _shift2(rgb, -1, 0)
+    bottom = _shift2(rgb, 1, 0)
+    left = _shift2(rgb, 0, -1)
+    right = _shift2(rgb, 0, 1)
     lw = jnp.array([0.299, 0.587, 0.114], jnp.float32)
     lums = [x @ lw for x in (center, top, bottom, left, right)]
     min_l = functools.reduce(jnp.minimum, lums)
