@@ -1,0 +1,136 @@
+"""App-layer (nu_scaler package): benchmark wrappers, CLI, profiles, logger,
+live session, Engine facade."""
+
+import logging
+import time
+
+import numpy as np
+import pytest
+
+from nu_scaler import benchmark as bm
+from nu_scaler import profiles
+from nu_scaler.benchmark_app import build_parser, main as bench_main
+from nu_scaler.core import Capture, Engine, Renderer, Upscaler
+from nu_scaler.gpu_optimizer import GpuMonitor, optimize_upscaler
+from nu_scaler.live import LiveSession
+from nu_scaler.logger import init_logger, log_capture_event
+
+
+def test_run_benchmark_auto():
+    r = bm.run_benchmark("auto", "performance", 32, 24, 2.0, 2)
+    assert r is not None
+    assert r.fps > 0
+    assert "fps" in str(r)
+
+
+def test_export_csv(tmp_path):
+    r = bm.run_benchmark("wgpu", "quality", 32, 24, 2.0, 1)
+    path = tmp_path / "out.csv"
+    bm.export_csv([r], str(path))
+    text = path.read_text()
+    assert "upscaler_name" in text and "WgpuUpscaler" in text
+
+
+def test_cli_single(tmp_path, capsys):
+    rc = bench_main(
+        ["single", "--tech", "fallback", "--quality", "performance",
+         "--width", "32", "--height", "24", "--frames", "1",
+         "--save", str(tmp_path / "r.csv")]
+    )
+    assert rc == 0
+    assert (tmp_path / "r.csv").exists()
+
+
+def test_cli_parser_modes():
+    p = build_parser()
+    args = p.parse_args(["batch", "--sweep", "hd", "--frames", "2"])
+    assert args.mode == "batch"
+
+
+def test_profiles_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.setenv("XDG_CONFIG_HOME", str(tmp_path))
+    prof = profiles.Profile(name="test", algorithm="bicubic", region=(1, 2, 3, 4))
+    prof.save()
+    assert "test" in profiles.Profile.list_profiles()
+    loaded = profiles.Profile.load("test")
+    assert loaded.algorithm == "bicubic"
+    assert loaded.region == (1, 2, 3, 4)
+    assert profiles.Profile.delete("test")
+
+
+def test_logger(tmp_path, monkeypatch):
+    monkeypatch.setenv("XDG_DATA_HOME", str(tmp_path))
+    import nu_scaler.logger as L
+
+    monkeypatch.setattr(L, "_LOGGER", None)
+    log = init_logger(level=logging.DEBUG)
+    log_capture_event("start", target="fullscreen")
+    logs = list((tmp_path / "nu_scaler" / "logs").iterdir())
+    assert logs, "log file not created"
+
+
+def test_live_session_headless():
+    frames = []
+    session = LiveSession(
+        scale=2.0,
+        algorithm="bilinear",
+        quality="performance",
+        sink=lambda d, w, h: frames.append((len(d), w, h)),
+        fps=30,
+    ).start()
+    deadline = time.monotonic() + 20
+    while not frames and time.monotonic() < deadline:
+        time.sleep(0.1)
+    session.stop()
+    assert frames, "no frames delivered"
+    n, w, h = frames[0]
+    assert n == w * h * 4
+    stats = session.stats()
+    assert stats["frames_out"] >= 1
+
+
+def test_engine_facade():
+    captured = []
+    eng = Engine(
+        scale=2.0, quality="performance", algorithm="nearest",
+        sink=lambda d, w, h: captured.append(1),
+    ).start()
+    deadline = time.monotonic() + 20
+    while not captured and time.monotonic() < deadline:
+        time.sleep(0.1)
+    eng.stop()
+    assert captured
+    assert eng.renderer.frames >= 1
+
+
+def test_upscaler_facade(pattern):
+    up = Upscaler("wgpu", "quality", "bilinear")
+    up.initialize(32, 24, 64, 48)
+    out = up.upscale(pattern(32, 24).tobytes())
+    assert len(out) == 64 * 48 * 4
+    fsr = Upscaler("fsr", "quality")
+    fsr.initialize(32, 24, 64, 48)
+    assert len(fsr.upscale(pattern(32, 24).tobytes())) == 64 * 48 * 4
+
+
+def test_capture_facade():
+    assert Capture.list_windows()
+    cap = Capture("region:0,0,64,32")
+    cap.start()
+    deadline = time.monotonic() + 10
+    frame = None
+    while frame is None and time.monotonic() < deadline:
+        frame = cap.frame()
+        time.sleep(0.05)
+    cap.stop()
+    assert frame is not None and frame[1] == 64
+
+
+def test_gpu_monitor():
+    lines = []
+    mon = GpuMonitor(interval=0.2, printer=lambda s: lines.append(s))
+    mon.start()
+    time.sleep(0.7)
+    mon.stop()
+    assert lines and "HBM" in lines[0]
+    optimize_upscaler(mon.upscaler)
