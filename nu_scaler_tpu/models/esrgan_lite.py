@@ -154,12 +154,21 @@ _PRETRAINED: dict[int, Any] = {}
 
 
 def get_params(stages: int):
-    """Deterministic weights per stage count. Checkpoint loading (orbax) plugs
-    in here; falls back to seed-0 init (the net then acts as a mildly
-    perturbed bilinear thanks to the global skip)."""
+    """Serving weights per stage count: the latest orbax checkpoint when one
+    exists (`nu_scaler_tpu/models/train.py`), else seed-0 init (the net then
+    acts as a mildly perturbed bilinear thanks to the global skip)."""
     if stages not in _PRETRAINED:
-        _, params = init_params(0, stages)
-        _PRETRAINED[stages] = params
+        try:
+            from nu_scaler_tpu.models.train import load_checkpoint
+
+            restored = load_checkpoint(stages)
+        except Exception:  # noqa: BLE001 — orbax missing / corrupt ckpt
+            restored = None
+        if restored is not None:
+            _PRETRAINED[stages] = restored[0]
+        else:
+            _, params = init_params(0, stages)
+            _PRETRAINED[stages] = params
     return _PRETRAINED[stages]
 
 

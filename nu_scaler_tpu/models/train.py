@@ -1,0 +1,151 @@
+"""Training + checkpointing for the ESRGAN-lite learned tier.
+
+Replaces the role of the vendor-SDK "quality" path (dlss-sys / fsr3-sys,
+SURVEY C11/C12) with something that actually trains: self-supervised
+super-resolution on downscaled crops of whatever frames the capture path
+produces (synthetic scenes by default — no dataset download needed).
+
+Checkpoints go through orbax (`checkpoints/esrgan_lite_s{stages}`), and
+`load_or_init` restores them so `make_pretrained_upscaler` serves trained
+weights across processes. Multi-chip training uses the dp×tp sharded step
+from `esrgan_lite.make_sharded_train_step`.
+
+Run:  python -m nu_scaler_tpu.models.train --steps 200 --batch 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nu_scaler_tpu.models import esrgan_lite as el
+
+CKPT_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "checkpoints")
+
+
+def ckpt_dir(stages: int) -> str:
+    return os.path.join(CKPT_ROOT, f"esrgan_lite_s{stages}")
+
+
+def save_checkpoint(params, stages: int, step: int) -> str:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(ckpt_dir(stages))
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.join(path, str(step)), params, force=True)
+    # update the "latest" pointer
+    with open(os.path.join(path, "latest.txt"), "w") as f:
+        f.write(str(step))
+    return path
+
+
+def load_checkpoint(stages: int):
+    """Returns (params, step) or None."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(ckpt_dir(stages))
+    latest = os.path.join(path, "latest.txt")
+    if not os.path.exists(latest):
+        return None
+    step = int(open(latest).read().strip())
+    ckptr = ocp.PyTreeCheckpointer()
+    params = ckptr.restore(os.path.join(path, str(step)))
+    return params, step
+
+
+def load_or_init(stages: int):
+    """Checkpoint-or-init; also primes the in-memory serving cache."""
+    restored = load_checkpoint(stages)
+    if restored is not None:
+        params, _ = restored
+        el.set_params(stages, params)
+        return params
+    _, params = el.init_params(0, stages)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Synthetic SR data: random mixtures of gradients, blobs and edges
+# ---------------------------------------------------------------------------
+
+
+def make_batch(rng: np.random.Generator, batch: int, size: int = 64):
+    """HR [N, size, size, 3] in [0,1] + LR 2x-downscaled (area)."""
+    n = batch
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    hr = np.empty((n, size, size, 3), np.float32)
+    for i in range(n):
+        img = np.zeros((size, size, 3), np.float32)
+        # gradient base
+        a, b = rng.random(2)
+        img += (a * xx + b * yy)[..., None] * rng.random(3)
+        # blobs
+        for _ in range(rng.integers(1, 4)):
+            cx, cy = rng.random(2) * size
+            s = 2 + rng.random() * 10
+            blob = np.exp(-(((np.arange(size) - cx) / s) ** 2))[None, :] * np.exp(
+                -(((np.arange(size) - cy) / s) ** 2)
+            )[:, None]
+            img += blob[..., None] * rng.random(3)
+        # hard edge
+        if rng.random() < 0.7:
+            pos = rng.integers(4, size - 4)
+            if rng.random() < 0.5:
+                img[:, pos:] += rng.random(3) * 0.5
+            else:
+                img[pos:, :] += rng.random(3) * 0.5
+        hr[i] = np.clip(img / max(img.max(), 1e-3), 0, 1)
+    v = hr.reshape(n, size // 2, 2, size // 2, 2, 3)
+    lr = v.mean(axis=(2, 4))
+    return lr, hr
+
+
+def train(
+    steps: int = 200,
+    batch: int = 8,
+    stages: int = 1,
+    lr: float = 2e-4,
+    seed: int = 0,
+    log_every: int = 25,
+    save: bool = True,
+) -> float:
+    """Returns final loss."""
+    rng = np.random.default_rng(seed)
+    model, params = el.init_params(seed, stages)
+    restored = load_checkpoint(stages)
+    if restored is not None:
+        params, start = restored
+        print(f"resumed from step {start}")
+    opt = optax.adam(lr)
+    step_fn = el.make_train_step(model, opt)
+    opt_state = opt.init(params)
+
+    loss = float("nan")
+    t0 = time.time()
+    for step in range(steps):
+        lr_b, hr_b = make_batch(rng, batch)
+        params, opt_state, loss = step_fn(params, opt_state, jnp.asarray(lr_b), jnp.asarray(hr_b))
+        if step % log_every == 0:
+            print(f"step {step:5d}  loss {float(loss):.5f}  ({time.time()-t0:.1f}s)")
+    print(f"final loss {float(loss):.5f}")
+    if save:
+        path = save_checkpoint(jax.device_get(params), stages, steps)
+        print(f"checkpoint: {path}")
+    el.set_params(stages, params)
+    return float(loss)
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--stages", type=int, default=1)
+    p.add_argument("--lr", type=float, default=2e-4)
+    args = p.parse_args()
+    train(args.steps, args.batch, args.stages, args.lr)

@@ -1,0 +1,122 @@
+"""Tracing / profiling utilities — SURVEY §5 "tracing/profiling" parity.
+
+The reference exposes (a) GPU timestamp-query durations
+(`get_last_gpu_duration_ms`, wgpu_interpolator.rs:389-438), (b) CPU Instant
+timing around hot calls, (c) an FPS EMA for the UI overlay. TPU equivalents:
+
+  * `device_timer` — times a jitted callable's device execution by running
+    `iters` chained repetitions in one `lax.fori_loop` and fetching once
+    (immune to dispatch/tunnel latency; the technique bench.py uses).
+  * `trace_to` — context manager around `jax.profiler` emitting a
+    TensorBoard-loadable trace directory.
+  * `FrameClock` — FPS EMA with the reference's 0.95/0.05 smoothing
+    (main.py:1128-1163) plus p50/p99 windows.
+  * `Timer` — lightweight scoped wall timer for host-side stages.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import deque
+from typing import Callable, Optional
+
+import numpy as np
+
+
+@contextlib.contextmanager
+def trace_to(logdir: str):
+    """jax.profiler trace context (TensorBoard format)."""
+    import jax
+
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def fetch_overhead_s(reps: int = 10) -> float:
+    """Measured host↔device scalar-fetch round trip (to subtract from wall
+    timings; ~29 ms through the axon tunnel, ~µs on local hardware)."""
+    import jax
+    import jax.numpy as jnp
+
+    t = jax.device_put(np.ones((8, 8), np.float32))
+    tiny = jax.jit(lambda a: a.sum())
+    float(tiny(t))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        float(tiny(t))
+    return (time.perf_counter() - t0) / reps
+
+
+def device_timer(body: Callable, state0, iters: int = 50, overhead_s: Optional[float] = None) -> float:
+    """Seconds per step of `body` (a shape-preserving state→state function)
+    on-device. Chains `iters` steps in one fori_loop so the measurement is
+    compute, not dispatch."""
+    import jax
+    import jax.numpy as jnp
+
+    if overhead_s is None:
+        overhead_s = fetch_overhead_s()
+
+    @jax.jit
+    def run(state):
+        return jax.lax.fori_loop(0, iters, lambda i, s: body(s), state)
+
+    out = run(state0)
+    probe = jax.jit(
+        lambda s: sum(
+            jnp.sum(x.reshape(-1)[:2].astype(jnp.float32))
+            for x in jax.tree_util.tree_leaves(s)
+        )
+    )
+    float(probe(out))
+    t0 = time.perf_counter()
+    out = run(state0)
+    float(probe(out))
+    return max(time.perf_counter() - t0 - overhead_s, 1e-9) / iters
+
+
+class FrameClock:
+    """FPS EMA (0.95/0.05) + windowed percentiles for overlay stats."""
+
+    def __init__(self, window: int = 240):
+        self.ema_fps = 0.0
+        self.frames = 0
+        self._last: Optional[float] = None
+        self._durations = deque(maxlen=window)
+
+    def tick(self) -> float:
+        now = time.perf_counter()
+        if self._last is not None:
+            dt = now - self._last
+            self._durations.append(dt)
+            inst = 1.0 / dt if dt > 0 else 0.0
+            self.ema_fps = 0.95 * self.ema_fps + 0.05 * inst if self.frames > 1 else inst
+        self._last = now
+        self.frames += 1
+        return self.ema_fps
+
+    def percentiles(self) -> dict:
+        if not self._durations:
+            return {"p50_ms": 0.0, "p99_ms": 0.0}
+        d = np.asarray(self._durations) * 1000.0
+        return {
+            "p50_ms": float(np.percentile(d, 50)),
+            "p99_ms": float(np.percentile(d, 99)),
+        }
+
+
+class Timer:
+    """Scoped wall timer: `with Timer() as t: ...; t.ms`."""
+
+    def __enter__(self):
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.seconds = time.perf_counter() - self._t0
+        self.ms = self.seconds * 1000.0
+        return False
