@@ -38,7 +38,7 @@ from nu_scaler_core.capture import (
     PyScreenCapture,
     PyWindowByTitle,
 )
-from nu_scaler_core.interpolator import WgpuFrameInterpolator
+from nu_scaler_core.interpolator import WgpuFrameInterpolator, create_interpolator
 from nu_scaler_core.upscaler import (
     PyAdvancedWgpuUpscaler,
     PyFsrUpscaler,
@@ -62,6 +62,7 @@ __all__ = [
     "PyVramStats",
     "PyBenchmarkResult",
     "WgpuFrameInterpolator",
+    "create_interpolator",
     "create_advanced_upscaler",
     "create_fsr_upscaler",
     "create_best_upscaler",

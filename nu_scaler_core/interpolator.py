@@ -129,3 +129,16 @@ class WgpuFrameInterpolator:
         return _interp.compute_flow(
             np.asarray(frame_a, np.uint8), np.asarray(frame_b, np.uint8), levels
         )
+
+
+def create_interpolator(kind: str = "blend", workgroup_preset: Optional[str] = None) -> WgpuFrameInterpolator:
+    """Interpolator factory — the `InterpolatorFactory` role of the
+    reference's never-compiled CPU module (interpolation/mod.rs, SURVEY C11).
+
+    kind: "blend" (shipped zero-flow cross-fade) | "flow" (block-MC
+    production pipeline) | "flow_exact" (per-pixel warp, golden-parity).
+    Unknown kinds fall back to "blend" (reference-style silent default).
+    """
+    if kind not in ("blend", "flow", "flow_exact"):
+        kind = "blend"
+    return WgpuFrameInterpolator(workgroup_preset, mode=kind)

@@ -314,6 +314,13 @@ class PyAdvancedWgpuUpscaler(PyWgpuUpscaler):
         self.cleanup_memory()
         self._pool.update_vram_usage(force=True)
 
+    def get_native_device_handle(self):
+        """Escape hatch to the underlying accelerator object — the role of
+        `GpuResources::get_native_device_handle` (gpu/mod.rs:103-240, which
+        exposed ID3D12Device*/vkDevice for vendor SDKs). Here it is the
+        `jax.Device`, giving callers memory_stats(), platform info etc."""
+        return self._device
+
 
 class PyFsrUpscaler(PyWgpuUpscaler):
     """The FSR tier, actually implemented (the reference's

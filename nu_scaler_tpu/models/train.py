@@ -147,5 +147,10 @@ if __name__ == "__main__":
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--stages", type=int, default=1)
     p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend "
+                   "(the site config pins JAX_PLATFORMS=axon; env vars alone "
+                   "don't override it)")
     args = p.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     train(args.steps, args.batch, args.stages, args.lr)

@@ -164,6 +164,21 @@ def _banded_pass_first_axis(f: jax.Array, banded, precision) -> jax.Array:
     return out.reshape(*lead, t * tc, w_, c_)
 
 
+def _banded_pass_second_axis(f: jax.Array, banded, precision) -> jax.Array:
+    """Apply a banded axis resample along axis -2 (columns) of [..., H, W, C]
+    — in place, no transposes (a 4K f32 transpose costs ~0.5 ms of HBM)."""
+    a, stride, halo, tc, t = banded
+    in_size = f.shape[-2]
+    c_ = f.shape[-1]
+    total = (t + 1) * stride
+    pads = [(0, 0)] * (f.ndim - 2) + [(halo, total - halo - in_size), (0, 0)]
+    f_p = jnp.pad(f, pads)
+    blocks = f_p.reshape(*f.shape[:-2], t + 1, stride, c_)
+    slab = jnp.concatenate([blocks[..., :-1, :, :], blocks[..., 1:, :, :]], axis=-2)
+    out = jnp.einsum("tsp,...htsc->...htpc", jnp.asarray(a), slab, precision=precision)
+    return out.reshape(*f.shape[:-2], t * tc, c_)
+
+
 def _banded_body(
     img: jax.Array,
     banded_v,
@@ -175,9 +190,7 @@ def _banded_body(
     """Separable block-banded resample; [..., H, W, C] u8 → [..., OH, OW, C] u8."""
     f = img.astype(jnp.float32) * (1.0 / 255.0)
     out = _banded_pass_first_axis(f, banded_v, precision)[..., :out_h, :, :]
-    out = jnp.swapaxes(out, -3, -2)  # [..., W, OH, C]
-    out = _banded_pass_first_axis(out, banded_h, precision)[..., :out_w, :, :]
-    out = jnp.swapaxes(out, -3, -2)  # [..., OH, OW, C]
+    out = _banded_pass_second_axis(out, banded_h, precision)[..., :out_w, :]
     return jnp.trunc(jnp.clip(out, 0.0, 1.0) * 255.0).astype(jnp.uint8)
 
 
@@ -301,9 +314,7 @@ def resize_f32(x: jax.Array, out_h: int, out_w: int, algorithm: str = "bilinear_
     bh = _banded_axis(in_w, out_w, algorithm)
     if bv is not None and bh is not None:
         out = _banded_pass_first_axis(x, bv, prec)[..., :out_h, :, :]
-        out = jnp.swapaxes(out, -3, -2)
-        out = _banded_pass_first_axis(out, bh, prec)[..., :out_w, :, :]
-        return jnp.swapaxes(out, -3, -2)
+        return _banded_pass_second_axis(out, bh, prec)[..., :out_w, :]
     wv = jnp.asarray(_axis_weights(in_h, out_h, algorithm))
     wh = jnp.asarray(_axis_weights(in_w, out_w, algorithm))
     tmp = jnp.einsum("oi,...iwc->...owc", wv, x, precision=prec)

@@ -1,0 +1,56 @@
+"""Streaming pipeline (double/triple-buffered dispatch)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from nu_scaler_tpu.ops import resample
+from nu_scaler_tpu.runtime.streaming import FramePipeline, LivePipeline, benchmark_live_pipeline
+
+
+def _frames(rng, n, h=16, w=16):
+    return [rng.integers(0, 256, (h, w, 4), np.uint8) for _ in range(n)]
+
+
+def test_frame_pipeline_order_and_results(rng):
+    fn = resample.make_resampler(16, 16, 32, 32, "bilinear")
+    pipe = FramePipeline(fn, depth=2)
+    frames = _frames(rng, 6)
+    outs = list(pipe.process_stream(frames))
+    assert len(outs) == 6
+    for f, o in zip(frames, outs):
+        np.testing.assert_array_equal(o, np.asarray(fn(f)))
+
+
+def test_live_pipeline_interpolation_doubles_frames(rng):
+    from nu_scaler_tpu.ops import interpolate as interp
+
+    up = resample.make_resampler(16, 16, 32, 32, "bilinear")
+    blend = lambda a, b, t: interp.blend_only(a, b, t)  # noqa: E731
+    pipe = LivePipeline(up, blend, depth=1)
+    total = []
+    for f in _frames(rng, 5):
+        total += pipe.put(f)
+    total += pipe.drain()
+    # 5 inputs: first emits 1, rest emit 2 → 9 outputs
+    assert pipe.frames_in == 5
+    assert pipe.frames_out == 9
+    assert all(o.shape == (32, 32, 4) for o in total)
+
+
+def test_live_pipeline_no_interp(rng):
+    up = resample.make_resampler(16, 16, 32, 32, "nearest")
+    pipe = LivePipeline(up, None, depth=2)
+    outs = []
+    for f in _frames(rng, 4):
+        outs += pipe.put(f)
+    outs += pipe.drain()
+    assert pipe.frames_out == 4
+
+
+def test_benchmark_live_pipeline(rng):
+    up = resample.make_resampler(16, 16, 32, 32, "bilinear")
+    stats = benchmark_live_pipeline(up, None, _frames(rng, 10), warmup=2)
+    assert stats["output_frames"] == 8
+    assert stats["fps"] > 0
+    assert stats["p50_step_ms"] >= 0
