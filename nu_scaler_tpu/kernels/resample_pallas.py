@@ -1,0 +1,135 @@
+"""Pallas TPU kernel: fused block-banded separable resample.
+
+Same math as `ops/resample._banded_body` (per-output-tile small matmuls over
+two-block input slabs) but hand-tiled: the u8→f32 unpack, the banded
+contraction and the f32→u8 trunc pack all happen on VMEM-resident tiles, so
+the f32 intermediates of the XLA version never round-trip HBM.
+
+Everything here uses ONLY static BlockSpecs — block index maps `t → t` and
+`t → t+1` give each grid step its slab halo without dynamic `memref_slice`
+(unsupported on this backend) or gathers (ditto).
+
+Layout note: frames travel as 2D u8 [rows, W*4] — a trailing dim of 4 would
+be padded to the 128-lane tile in HBM (4× memory, broken slicing).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nu_scaler_tpu.ops import resample as _r
+
+LANES = 4  # RGBA interleaved in the lane dim
+
+
+def _vert_kernel(w_ref, b0_ref, b1_ref, out_ref):
+    """out_tile [tc, W*4] f32 = W_t [tc, s2] @ concat(b0, b1) [s2, W*4]."""
+    slab = jnp.concatenate(
+        [b0_ref[:].astype(jnp.int32), b1_ref[:].astype(jnp.int32)], axis=0
+    ).astype(jnp.float32) * (1.0 / 255.0)
+    out_ref[:] = jax.lax.dot_general(
+        w_ref[0],
+        slab,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _horiz_kernel(w_ref, b0_ref, b1_ref, out_ref):
+    """Horizontal pass on f32 rows.
+
+    b0/b1: [tr, stride*4]; de-interleave channels → [tr, s2, 4], contract
+    texels against W_t [s2, tc], re-interleave → [tr, tc*4], trunc-pack u8.
+    """
+    tr = b0_ref.shape[0]
+    s2 = (b0_ref.shape[1] + b1_ref.shape[1]) // LANES
+    slab = jnp.concatenate([b0_ref[:], b1_ref[:]], axis=1)
+    slab = slab.reshape(tr, s2, LANES)
+    out = jax.lax.dot_general(
+        slab,
+        w_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [tr, LANES, tc]
+    out = out.transpose(0, 2, 1).reshape(tr, -1)
+    out_ref[:] = jnp.trunc(jnp.clip(out, 0.0, 1.0) * 255.0).astype(jnp.int32).astype(
+        jnp.uint8
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def make_pallas_resampler(in_h: int, in_w: int, out_h: int, out_w: int, algorithm: str):
+    """u8 [H, W, 4] → u8 [OH, OW, 4], or None when the banded form doesn't
+    tile for these sizes."""
+    algorithm = _r.normalize_algorithm(algorithm)
+    bv = _r._banded_axis(in_h, out_h, algorithm)
+    bh = _r._banded_axis(in_w, out_w, algorithm)
+    if bv is None or bh is None:
+        return None
+    av, stride_v, halo_v, tc_v, t_v = bv
+    ah, stride_h, halo_h, tc_h, t_h = bh
+
+    interpret = jax.default_backend() == "cpu"
+    wv = jnp.asarray(av.transpose(0, 2, 1))  # [t, tc, s2]
+    wh = jnp.asarray(ah)  # [t, s2, tc]
+
+    wl = in_w * LANES
+    vert = pl.pallas_call(
+        _vert_kernel,
+        out_shape=jax.ShapeDtypeStruct((t_v * tc_v, wl), jnp.float32),
+        grid=(t_v,),
+        in_specs=[
+            pl.BlockSpec((1, tc_v, 2 * stride_v), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((stride_v, wl), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((stride_v, wl), lambda t: (t + 1, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tc_v, wl), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )
+
+    # horizontal: grid over (row tiles, col tiles)
+    TRH = 8
+    rows_p = -(-out_h // TRH) * TRH
+    horiz = pl.pallas_call(
+        _horiz_kernel,
+        out_shape=jax.ShapeDtypeStruct((rows_p, t_h * tc_h * LANES), jnp.uint8),
+        grid=(rows_p // TRH, t_h),
+        in_specs=[
+            pl.BlockSpec((1, 2 * stride_h, tc_h), lambda r, t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TRH, stride_h * LANES), lambda r, t: (r, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TRH, stride_h * LANES), lambda r, t: (r, t + 1), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TRH, tc_h * LANES), lambda r, t: (r, t), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )
+
+    total_v = (t_v + 1) * stride_v
+    total_h = (t_h + 1) * stride_h
+
+    def fn(img_u8: jax.Array) -> jax.Array:
+        flat = img_u8.reshape(in_h, wl)
+        flat = jnp.pad(flat, ((halo_v, total_v - halo_v - in_h), (0, 0)))
+        mid = vert(wv, flat, flat)  # [t_v*tc_v, W*4] f32
+        mid = mid[:out_h]
+        # pad cols for the horizontal slabs + rows to the row-tile multiple
+        midp = jnp.pad(
+            mid,
+            (
+                (0, rows_p - out_h),
+                (halo_h * LANES, (total_h - halo_h - in_w) * LANES),
+            ),
+        )
+        out = horiz(wh, midp, midp)
+        return out[:out_h, : out_w * LANES].reshape(out_h, out_w, LANES)
+
+    return jax.jit(fn)
+
+
+def pallas_resample_available(in_h: int, in_w: int, out_h: int, out_w: int, algorithm: str) -> bool:
+    return make_pallas_resampler(in_h, in_w, out_h, out_w, algorithm) is not None

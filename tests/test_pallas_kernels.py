@@ -1,0 +1,35 @@
+"""Pallas kernels (interpret mode on the CPU mesh; compiled Mosaic on TPU)."""
+
+import numpy as np
+import pytest
+
+from nu_scaler_tpu.kernels.resample_pallas import make_pallas_resampler
+from nu_scaler_tpu.ops import resample
+from nu_scaler_tpu.ops.metrics import psnr
+
+
+@pytest.mark.parametrize("algo", ["lanczos3", "bilinear", "nearest"])
+def test_pallas_resample_matches_xla(rng, algo):
+    img = rng.integers(0, 256, (128, 256, 4), np.uint8)
+    fn = make_pallas_resampler(128, 256, 256, 512, algo)
+    if fn is None:
+        pytest.skip("banded form does not tile")
+    out = np.asarray(fn(img))
+    ref = np.asarray(resample.upscale_frame(img, 256, 512, algo))
+    assert psnr(out, ref) >= 60.0
+
+
+def test_pallas_block_warp_interpret(rng):
+    """The block-warp Pallas kernel in interpret mode (its compiled form is
+    blocked on Mosaic dynamic-slice support — ops/interpolate.block_warp is
+    the production path)."""
+    import jax.numpy as jnp
+
+    from nu_scaler_tpu.kernels import warp_pallas as W
+
+    a = rng.integers(0, 256, (32, 256, 4), np.uint8)
+    b = np.roll(a, 4, axis=1)
+    flow = np.tile(np.array([4.0, 0.0], np.float32), (32, 256, 1))
+    out = np.asarray(W.block_warp_blend(jnp.asarray(a), jnp.asarray(b), jnp.asarray(flow), 0.5))
+    golden = W.block_warp_blend_ref(a, b, flow, 0.5)
+    assert psnr(out, golden) >= 50.0
