@@ -51,7 +51,41 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--quality", default="quality")
     b.add_argument("--sweep", nargs="+", default=["hd", "fhd", "qhd"], choices=list(RESOLUTIONS))
     common(b)
+
+    st = sub.add_parser("stress", help="parallel stress test (gpu_stress_test role)")
+    st.add_argument("--threads", type=int, default=4)
+    st.add_argument("--tech", default="wgpu")
+    st.add_argument("--quality", default="balanced")
+    common(st)
     return p
+
+
+def run_stress(args) -> list:
+    """N worker threads hammering independent upscalers concurrently while a
+    monitor samples memory — the reference's `gpu_stress_test.py` role."""
+    import threading
+
+    from nu_scaler.gpu_optimizer import GpuMonitor
+
+    mon = GpuMonitor(interval=1.0, printer=lambda s: None).start()
+    results = [None] * args.threads
+
+    def work(i):
+        results[i] = bm.run_benchmark(
+            args.tech, args.quality, args.width, args.height, args.scale, args.frames
+        )
+
+    threads = [threading.Thread(target=work, args=(i,)) for i in range(args.threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    mon.stop()
+    results = [r for r in results if r is not None]
+    total_fps = sum(r.fps for r in results)
+    print(f"stress: {len(results)}/{args.threads} workers ok, aggregate {total_fps:.1f} fps, "
+          f"peak mem {max(mon.samples, default=0):.1f}%")
+    return results
 
 
 def main(argv=None) -> int:
@@ -69,6 +103,8 @@ def main(argv=None) -> int:
         results = bm.run_comparison_benchmark(args.width, args.height, args.scale, args.frames)
         for r in results:
             print(r)
+    elif args.mode == "stress":
+        results = run_stress(args)
     else:  # batch
         results = []
         for name in args.sweep:

@@ -119,7 +119,6 @@ def _banded_axis(in_size: int, out_size: int, algorithm: str, target_tc: int = 1
     t = -(-out_size // tc)  # ceil: pad output, crop after
 
     w = _axis_weights(in_size, out_size, algorithm)  # [O, I]
-    nz_cols = np.nonzero(w)[1]
     # per-row support bounds
     lo = np.full(out_size, in_size, np.int64)
     hi = np.full(out_size, -1, np.int64)
