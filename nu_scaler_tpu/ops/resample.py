@@ -145,6 +145,32 @@ def _banded_axis(in_size: int, out_size: int, algorithm: str, target_tc: int = 1
     return a, stride, halo, tc, t
 
 
+def _split_bf16(a: np.ndarray) -> tuple[jax.Array, jax.Array]:
+    """Split an f32 weight matrix into bf16 hi + lo parts whose sum
+    reconstructs ~15 mantissa bits. With bf16-exact inputs (raw u8 values),
+    two DEFAULT-precision MXU passes then match f32-weight accuracy at ~1/3
+    the cost of Precision.HIGHEST (6-pass)."""
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - np.asarray(hi).astype(np.float32)).astype(jnp.bfloat16)
+    return jnp.asarray(hi), jnp.asarray(lo)
+
+
+def _banded_einsum(spec: str, a_np, slab: jax.Array, precision) -> jax.Array:
+    """The banded contraction with a precision strategy.
+
+    precision "split_bf16": slab must be bf16-exact values (raw u8 range);
+    runs hi+lo weight passes at default precision on the MXU.
+    Otherwise: a standard einsum at the given jax precision.
+    """
+    if precision == "split_bf16":
+        hi, lo = _split_bf16(a_np)
+        slab16 = slab.astype(jnp.bfloat16)
+        out = jnp.einsum(spec, hi, slab16, preferred_element_type=jnp.float32)
+        out = out + jnp.einsum(spec, lo, slab16, preferred_element_type=jnp.float32)
+        return out
+    return jnp.einsum(spec, jnp.asarray(a_np), slab, precision=precision)
+
+
 def _banded_pass_first_axis(f: jax.Array, banded, precision) -> jax.Array:
     """Apply a banded axis resample along axis -3 (rows) of [..., I, W, C]."""
     a, stride, halo, tc, t = banded
@@ -157,9 +183,7 @@ def _banded_pass_first_axis(f: jax.Array, banded, precision) -> jax.Array:
     f_p = jnp.pad(f, [(0, 0)] * len(lead) + [(pad_head, pad_tail), (0, 0), (0, 0)])
     blocks = f_p.reshape(*lead, t + 1, stride, w_, c_)
     slab = jnp.concatenate([blocks[..., :-1, :, :, :], blocks[..., 1:, :, :, :]], axis=-3)
-    out = jnp.einsum(
-        "tsp,...tswc->...tpwc", jnp.asarray(a), slab, precision=precision
-    )
+    out = _banded_einsum("tsp,...tswc->...tpwc", a, slab, precision)
     return out.reshape(*lead, t * tc, w_, c_)
 
 
@@ -174,7 +198,7 @@ def _banded_pass_second_axis(f: jax.Array, banded, precision) -> jax.Array:
     f_p = jnp.pad(f, pads)
     blocks = f_p.reshape(*f.shape[:-2], t + 1, stride, c_)
     slab = jnp.concatenate([blocks[..., :-1, :, :], blocks[..., 1:, :, :]], axis=-2)
-    out = jnp.einsum("tsp,...htsc->...htpc", jnp.asarray(a), slab, precision=precision)
+    out = _banded_einsum("tsp,...htsc->...htpc", a, slab, precision)
     return out.reshape(*f.shape[:-2], t * tc, c_)
 
 
@@ -184,9 +208,23 @@ def _banded_body(
     banded_h,
     out_h: int,
     out_w: int,
-    precision=jax.lax.Precision.HIGHEST,
+    precision="split_bf16",
 ) -> jax.Array:
-    """Separable block-banded resample; [..., H, W, C] u8 → [..., OH, OW, C] u8."""
+    """Separable block-banded resample; [..., H, W, C] u8 → [..., OH, OW, C] u8.
+
+    The default "split_bf16" strategy keeps sample values in RAW u8 range
+    (exactly representable in bf16: integers ≤ 256) through both passes and
+    splits only the weights — ~3× faster than Precision.HIGHEST at ≥55 dB.
+    Note the vertical pass's f32 output re-enters the horizontal pass as
+    bf16; its values are no longer integers, so the second pass rounds them
+    to 8 mantissa bits (~0.2% of full scale) — still comfortably over the
+    50 dB gate (verified on-chip).
+    """
+    if precision == "split_bf16":
+        f = img.astype(jnp.float32)  # raw 0..255 — bf16-exact
+        out = _banded_pass_first_axis(f, banded_v, precision)[..., :out_h, :, :]
+        out = _banded_pass_second_axis(out, banded_h, precision)[..., :out_w, :]
+        return jnp.trunc(jnp.clip(out, 0.0, 255.0)).astype(jnp.uint8)
     f = img.astype(jnp.float32) * (1.0 / 255.0)
     out = _banded_pass_first_axis(f, banded_v, precision)[..., :out_h, :, :]
     out = _banded_pass_second_axis(out, banded_h, precision)[..., :out_w, :]
@@ -257,7 +295,7 @@ def _matrix_body(
 
 @functools.lru_cache(maxsize=256)
 def make_resampler(
-    in_h: int, in_w: int, out_h: int, out_w: int, algorithm: str, precision: str = "highest"
+    in_h: int, in_w: int, out_h: int, out_w: int, algorithm: str, precision: str = "split_bf16"
 ):
     """Returns a jitted ``u8 [H,W,4] -> u8 [OH,OW,4]`` function.
 
@@ -269,6 +307,7 @@ def make_resampler(
     algorithm = normalize_algorithm(algorithm)
 
     prec = {
+        "split_bf16": "split_bf16",  # bf16 hi+lo weight passes (fastest ≥50 dB)
         "highest": jax.lax.Precision.HIGHEST,
         "high": jax.lax.Precision.HIGH,
         "default": jax.lax.Precision.DEFAULT,
@@ -296,7 +335,8 @@ def make_resampler(
     else:  # irrational-ish scales or tiny axes: dense fallback
         wv = jnp.asarray(_axis_weights(in_h, out_h, algorithm))
         wh = jnp.asarray(_axis_weights(in_w, out_w, algorithm))
-        fn = functools.partial(_matrix_body, wv=wv, wh=wh, precision=prec)
+        dense_prec = jax.lax.Precision.HIGHEST if prec == "split_bf16" else prec
+        fn = functools.partial(_matrix_body, wv=wv, wh=wh, precision=dense_prec)
 
     return jax.jit(fn)
 

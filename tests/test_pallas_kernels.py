@@ -15,7 +15,7 @@ def test_pallas_resample_matches_xla(rng, algo):
     if fn is None:
         pytest.skip("banded form does not tile")
     out = np.asarray(fn(img))
-    ref = np.asarray(resample.upscale_frame(img, 256, 512, algo))
+    ref = np.asarray(resample.make_resampler(128, 256, 256, 512, algo, "highest")(img))
     assert psnr(out, ref) >= 60.0
 
 
