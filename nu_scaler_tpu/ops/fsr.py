@@ -62,43 +62,41 @@ def easu_polyphase(img_u8: jax.Array, scale: int, sharpness: float) -> jax.Array
     in_h, in_w = img_u8.shape[-3], img_u8.shape[-2]
     rgb = img_u8[..., :3].astype(jnp.float32).transpose(2, 0, 1) * (1.0 / 255.0)
 
+    # For integer scales every phase has inCoord fraction in (0,1), so the
+    # center offset trunc(inCoord) == 0 and basePos == -1 for ALL phases —
+    # the 16 tap images, the direction field and the center tap are
+    # phase-invariant. Hoist them; per phase only the scalar (fr_x, fr_y)
+    # weight fields differ.
+    up = _shift2(rgb, -1, 0)
+    dn = _shift2(rgb, 1, 0)
+    lf = _shift2(rgb, 0, -1)
+    rt = _shift2(rgb, 0, 1)
+    vgx = jnp.abs(up - dn).sum(axis=0) / 3.0  # [H, W]
+    vgy = jnp.abs(lf - rt).sum(axis=0) / 3.0
+    norm = jnp.sqrt((vgx + 1e-4) ** 2 + (vgy + 1e-4) ** 2)
+    dirx = (vgx + 1e-4) / norm
+    diry = (vgy + 1e-4) / norm
+    wx = jnp.abs(dirx) / (jnp.abs(dirx) + jnp.abs(diry))
+    wy = 1.0 - wx
+    taps = [[_shift2(rgb, ty - 1, tx - 1) for tx in range(4)] for ty in range(4)]
+    center = rgb
+
     phases = []
     for py in range(scale):
         row = []
         for px in range(scale):
-            # output pixel (scale*i+py, scale*j+px): inCoord = (o+0.5)/scale
-            icy = (py + 0.5) / scale  # fractional input coord rel. to i
-            icx = (px + 0.5) / scale
-            base_dy = int(np.floor(icy)) - 1  # basePos = trunc(inCoord)-1
-            base_dx = int(np.floor(icx)) - 1
-            fr_y = icy - np.floor(icy)
-            fr_x = icx - np.floor(icx)
-            cy_d = int(np.floor(icy))  # center tap offset (trunc(inCoord))
-            cx_d = int(np.floor(icx))
-
-            up = _shift2(rgb, cy_d - 1, cx_d)
-            dn = _shift2(rgb, cy_d + 1, cx_d)
-            lf = _shift2(rgb, cy_d, cx_d - 1)
-            rt = _shift2(rgb, cy_d, cx_d + 1)
-            vgx = jnp.abs(up - dn).sum(axis=0) / 3.0  # [H, W]
-            vgy = jnp.abs(lf - rt).sum(axis=0) / 3.0
-            norm = jnp.sqrt((vgx + 1e-4) ** 2 + (vgy + 1e-4) ** 2)
-            dirx = (vgx + 1e-4) / norm
-            diry = (vgy + 1e-4) / norm
-            wx = jnp.abs(dirx) / (jnp.abs(dirx) + jnp.abs(diry))
-            wy = 1.0 - wx
-
+            fr_y = (py + 0.5) / scale
+            fr_x = (px + 0.5) / scale
             sum_c = jnp.zeros_like(rgb)
             sum_w = jnp.zeros_like(wx)
             for ty in range(4):
                 for tx in range(4):
                     dist = jnp.abs((tx - fr_x) * wx + (ty - fr_y) * wy)
                     wgt = _fsr_cubic(dist)
-                    sum_c = sum_c + _shift2(rgb, base_dy + ty, base_dx + tx) * wgt[None]
+                    sum_c = sum_c + taps[ty][tx] * wgt[None]
                     sum_w = sum_w + wgt
             color = sum_c / jnp.maximum(sum_w, 1e-4)[None]
             if sharpness > 1e-3:
-                center = _shift2(rgb, cy_d, cx_d)
                 color = color + (center - color) * jnp.float32(sharpness)
             row.append(color)  # [3, H, W]
         phases.append(row)

@@ -61,6 +61,25 @@ def test_sharded_train_step_runs():
     assert abs(float(loss) - ref_loss) < 1e-4
 
 
+def test_trained_checkpoint_beats_bilinear():
+    """The committed checkpoint must outperform bilinear on held-out
+    synthetic scenes — the learned tier is only worth shipping if it wins."""
+    from nu_scaler_tpu.models.train import load_checkpoint, make_batch
+
+    restored = load_checkpoint(1)
+    if restored is None:
+        pytest.skip("no committed checkpoint")
+    params, _ = restored
+    model = el.ESRGANLite(stages=1)
+    rng = np.random.default_rng(99)
+    lr_b, hr_b = make_batch(rng, 8)
+    pred = np.asarray(model.apply(params, jnp.asarray(lr_b)))
+    base = np.asarray(jax.image.resize(jnp.asarray(lr_b), hr_b.shape, "bilinear"))
+    mse_model = float(((pred - hr_b) ** 2).mean())
+    mse_bilinear = float(((base - hr_b) ** 2).mean())
+    assert mse_model < mse_bilinear
+
+
 def test_scale_to_stages():
     assert el.scale_to_stages(540, 1080) == 1
     assert el.scale_to_stages(540, 2160) == 2
