@@ -88,8 +88,10 @@ def pipeline_body(mode: str):
     if mode == "blend":
         mid_fn = interp_ops.blend_only
     else:
+        base_level = 1 if mode == "flow_half" else 0
+
         def mid_fn(a, b, t):
-            flow = interp_ops.compute_flow_fast(a, b)
+            flow = interp_ops.compute_flow_fast(a, b, base_level=base_level)
             return interp_ops.warp_blend_fast(a, b, flow, t)
 
     def body(state):
@@ -147,6 +149,12 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         res_flow = {"fps": 0.0}
         log(f"pipeline[hs-flow] failed: {e}")
+    try:
+        res_flow_half = bench_pipeline("flow_half", max(iters // 5, 3), overhead)
+        log(f"pipeline[hs-half] {res_flow_half['fps']:9.1f} out-fps  {res_flow_half['step_ms']:.3f} ms/step")
+    except Exception as e:  # noqa: BLE001
+        res_flow_half = {"fps": 0.0}
+        log(f"pipeline[hs-half] failed: {e}")
 
     extras = {}
     for algo in ("bilinear", "lanczos3", "bicubic"):
@@ -170,6 +178,7 @@ def main() -> None:
                 "vs_baseline": round(value / TARGET_FPS, 3),
                 "step_ms": round(res_blend["step_ms"], 3),
                 "flow_mode_fps": round(res_flow["fps"], 1),
+                "flow_half_fps": round(res_flow_half["fps"], 1),
                 "platform": dev.platform,
                 **extras,
             }

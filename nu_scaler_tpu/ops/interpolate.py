@@ -386,6 +386,7 @@ def compute_flow_fast(
     coarse_iters: int = DEFAULT_COARSE_ITERS,
     refine_iters: int = 8,
     lam: float = DEFAULT_LAMBDA,
+    base_level: int = 0,
 ) -> jax.Array:
     """Gather-free coarse-to-fine flow.
 
@@ -393,22 +394,29 @@ def compute_flow_fast(
     plain Horn–Schunck runs on the residual (displacement ≤ ~2 px after
     warping, where HS's linearization is valid). flow_total = up(flow) +
     residual. No per-pixel gathers anywhere.
+
+    base_level > 0 stops refinement early: flow is computed at
+    1/2^base_level resolution and upsampled to full — the latency knob for
+    the live pipeline (flow fields are smooth; quality loss is small).
     """
     a = frame_a.astype(jnp.float32) * (1.0 / 255.0)
     b = frame_b.astype(jnp.float32) * (1.0 / 255.0)
+    full_h, full_w = a.shape[-3], a.shape[-2]
     lums_a = [luminance(p) for p in build_pyramid(a, levels)]
     lums_b = [luminance(p) for p in build_pyramid(b, levels)]
 
     flow = jnp.zeros(lums_a[-1].shape + (2,), jnp.float32)
     flow = horn_schunck(lums_a[-1], lums_b[-1], flow, coarse_iters, lam)
 
-    for lvl in range(levels - 2, -1, -1):
+    for lvl in range(levels - 2, base_level - 1, -1):
         th, tw = lums_a[lvl].shape[-2], lums_a[lvl].shape[-1]
         flow = flow_upsample(flow, th, tw) * 2.0
         b_warp = block_warp(lums_b[lvl][..., None], flow)[..., 0]
         residual = jnp.zeros_like(flow)
         residual = horn_schunck(lums_a[lvl], b_warp, residual, refine_iters, lam)
         flow = flow + residual
+    if base_level > 0:
+        flow = flow_upsample(flow, full_h, full_w) * float(2**base_level)
     return flow
 
 
