@@ -309,23 +309,23 @@ def _tile_to_pixels(tiles: jax.Array, th: int, tw: int, h: int, w: int) -> jax.A
     return out
 
 
-def block_warp(
-    img_f: jax.Array,
+def block_warp_planar(
+    img_p: jax.Array,
     offset_field: jax.Array,
     k: int = WARP_K,
     rng: int = WARP_RANGE,
 ) -> jax.Array:
-    """Sample `img_f` [H, W, C] f32 at p + offset(p), block-quantized.
+    """Sample planar `img_p` [C, H, W] f32 at p + offset(p), block-quantized.
 
     `offset_field` is a dense [H, W, 2] (x, y) displacement. Gather-free:
     top-K candidate integer offsets + per-candidate dynamic_slice + per-tile
-    subpixel lerp.
+    subpixel lerp. PLANAR layout is load-bearing: a channel-minor [H, W, C]
+    f32 array pads C up to the 128-lane tile on TPU (measured ~6× slower).
     """
-    h, w, _ = img_f.shape
+    c, h, w = img_p.shape
     th, tw = min(WARP_TILE[0], h), min(WARP_TILE[1], w)  # small pyramid levels
     tiles = _tile_mean(offset_field, th, tw)  # [Ty, Tx, 2]
     tiles = jnp.clip(tiles, -rng, rng)
-    ty, tx = tiles.shape[:2]
 
     q = jnp.floor(tiles).astype(jnp.int32)  # integer part (x, y)
     side = 2 * rng + 2
@@ -343,40 +343,52 @@ def block_warp(
     fry = jnp.clip(tiles[..., 1] - chosen_y, 0.0, 1.0)
     frx = jnp.clip(tiles[..., 0] - chosen_x, 0.0, 1.0)
 
-    # pixel-level maps
+    # pixel-level maps [H, W]
     assign_px = _tile_to_pixels(assign, th, tw, h, w)
-    fry_px = _tile_to_pixels(fry, th, tw, h, w)[..., None]
-    frx_px = _tile_to_pixels(frx, th, tw, h, w)[..., None]
+    fry_px = _tile_to_pixels(fry, th, tw, h, w)
+    frx_px = _tile_to_pixels(frx, th, tw, h, w)
 
     pad = rng + 2
-    padded = jnp.pad(img_f, ((pad, pad), (pad, pad), (0, 0)), mode="edge")
+    padded = jnp.pad(img_p, ((0, 0), (pad, pad), (pad, pad)), mode="edge")
 
-    out = jnp.zeros_like(img_f)
+    out = jnp.zeros_like(img_p)
     for i in range(k):
         base = jax.lax.dynamic_slice(
             padded,
-            (pad + cand_y[i], pad + cand_x[i], 0),
-            (h + 1, w + 1, img_f.shape[2]),
+            (0, pad + cand_y[i], pad + cand_x[i]),
+            (c, h + 1, w + 1),
         )
-        top_row = base[:h, :w] + frx_px * (base[:h, 1:] - base[:h, :w])
-        bot_row = base[1:, :w] + frx_px * (base[1:, 1:] - base[1:, :w])
+        top_row = base[:, :h, :w] + frx_px * (base[:, :h, 1:] - base[:, :h, :w])
+        bot_row = base[:, 1:, :w] + frx_px * (base[:, 1:, 1:] - base[:, 1:, :w])
         val = top_row + fry_px * (bot_row - top_row)
-        out = out + jnp.where((assign_px == i)[..., None], val, 0.0)
+        out = out + jnp.where((assign_px == i)[None], val, 0.0)
     return out
+
+
+def block_warp(
+    img_f: jax.Array,
+    offset_field: jax.Array,
+    k: int = WARP_K,
+    rng: int = WARP_RANGE,
+) -> jax.Array:
+    """Channel-minor wrapper over `block_warp_planar` ([H, W, C] in/out)."""
+    out = block_warp_planar(img_f.transpose(2, 0, 1), offset_field, k, rng)
+    return out.transpose(1, 2, 0)
 
 
 def warp_blend_fast(
     frame_a: jax.Array, frame_b: jax.Array, flow: jax.Array, time_t
 ) -> jax.Array:
     """Block-motion-compensated mix(a, b, t); gather-free production version
-    of warp_blend (u8 in/out)."""
+    of warp_blend (u8 in/out). Planar internals, one relayout each way."""
     t = jnp.asarray(time_t, jnp.float32)
-    a = frame_a.astype(jnp.float32)
-    b = frame_b.astype(jnp.float32)
-    va = block_warp(a, -t * flow)
-    vb = block_warp(b, (1.0 - t) * flow)
+    a = frame_a.astype(jnp.float32).transpose(2, 0, 1)
+    b = frame_b.astype(jnp.float32).transpose(2, 0, 1)
+    va = block_warp_planar(a, -t * flow)
+    vb = block_warp_planar(b, (1.0 - t) * flow)
     out = (va + (vb - va) * t) * (1.0 / 255.0)
-    return jnp.clip(jnp.round(out * 255.0), 0, 255).astype(jnp.uint8)
+    out = jnp.clip(jnp.round(out * 255.0), 0, 255).astype(jnp.uint8)
+    return out.transpose(1, 2, 0)
 
 
 def compute_flow_fast(
@@ -411,7 +423,7 @@ def compute_flow_fast(
     for lvl in range(levels - 2, base_level - 1, -1):
         th, tw = lums_a[lvl].shape[-2], lums_a[lvl].shape[-1]
         flow = flow_upsample(flow, th, tw) * 2.0
-        b_warp = block_warp(lums_b[lvl][..., None], flow)[..., 0]
+        b_warp = block_warp_planar(lums_b[lvl][None], flow)[0]
         residual = jnp.zeros_like(flow)
         residual = horn_schunck(lums_a[lvl], b_warp, residual, refine_iters, lam)
         flow = flow + residual

@@ -108,8 +108,16 @@ def _banded_axis(in_size: int, out_size: int, algorithm: str, target_tc: int = 1
     Returns (A, stride, halo, tc, t) with A: np.ndarray [T, 2*stride, TC],
     or None when the banded form is not profitable/possible.
     """
+    return _banded_from_matrix(
+        _axis_weights(in_size, out_size, algorithm), target_tc
+    )
+
+
+def _banded_from_matrix(w: np.ndarray, target_tc: int = 128):
+    """Block-banded decomposition of an arbitrary banded [O, I] matrix."""
     import math
 
+    out_size, in_size = w.shape
     g = math.gcd(in_size, out_size)
     p, q = out_size // g, in_size // g  # out:in ratio = p:q
     tc = max(p, ((target_tc + p - 1) // p) * p)  # tile of output rows
@@ -118,7 +126,6 @@ def _banded_axis(in_size: int, out_size: int, algorithm: str, target_tc: int = 1
     stride = tc * q // p
     t = -(-out_size // tc)  # ceil: pad output, crop after
 
-    w = _axis_weights(in_size, out_size, algorithm)  # [O, I]
     # per-row support bounds
     lo = np.full(out_size, in_size, np.int64)
     hi = np.full(out_size, -1, np.int64)
