@@ -145,11 +145,21 @@ class PyWgpuUpscaler:
     def upscale_batch(self, frames: Iterable[bytes]) -> list[bytes]:
         """Batch path: the reference fans frames over a rayon pool
         (upscale/mod.rs:609-640); here the whole batch is ONE device program
-        over a stacked [N,H,W,4] array (vmap-free: bodies are batch-
-        polymorphic), which is the TPU-native equivalent."""
+        over a stacked [N,H,W,4] array (bodies are batch-polymorphic). On a
+        multi-chip mesh the batch is sharded data-parallel over the devices
+        (the rayon→ICI mapping of SURVEY §2.6)."""
         self._check_ready()
         stacked = np.stack([self._to_array(bytes(f)) for f in frames])
-        out = np.asarray(self._fn(stacked))
+        if jax.device_count() > 1:
+            from nu_scaler_tpu.parallel.mesh import upscale_batch_sharded
+
+            out = np.asarray(
+                upscale_batch_sharded(
+                    stacked, self.output_height, self.output_width, self._algorithm
+                )
+            )
+        else:
+            out = np.asarray(self._fn(stacked))
         return [out[i].tobytes() for i in range(out.shape[0])]
 
     # -- compat knobs -----------------------------------------------------
@@ -342,6 +352,14 @@ class PyFsrUpscaler(PyWgpuUpscaler):
     @property
     def name(self) -> str:
         return "FsrUpscaler"
+
+    def upscale_batch(self, frames: Iterable[bytes]) -> list[bytes]:
+        # EASU's polyphase body is single-frame (planar internals); dispatch
+        # each frame — calls overlap on-device since nothing blocks between
+        self._check_ready()
+        arrs = [self._to_array(bytes(f)) for f in frames]
+        outs = [self._fn(a) for a in arrs]
+        return [np.asarray(o).tobytes() for o in outs]
 
 
 def create_advanced_upscaler(quality: str) -> PyAdvancedWgpuUpscaler:
