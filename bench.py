@@ -104,7 +104,38 @@ def pipeline_body(mode: str):
     return body
 
 
+def perf_interp_body():
+    """The "performance" interpolation tier: motion compensation runs at
+    540p (flow + warp), the mid frame upscales 540p→4K directly while the
+    current frame takes the regular 1080p→4K path. Quality sits between
+    cross-fade and full-res MC at a fraction of the cost."""
+    half = resample.make_resampler(IN_H, IN_W, IN_H // 2, IN_W // 2, "area")
+    up_full = resample.make_resampler(IN_H, IN_W, OUT_H, OUT_W, "lanczos3")
+    up_mid = resample.make_resampler(IN_H // 2, IN_W // 2, OUT_H, OUT_W, "lanczos3")
+
+    def body(state):
+        prev, cur, acc = state
+        ph, ch = half(prev), half(cur)
+        flow = interp_ops.compute_flow_fast(ph, ch, levels=3)
+        mid_half = interp_ops.warp_blend_fast(ph, ch, flow, 0.5)
+        out_mid = up_mid(mid_half)
+        out_cur = up_full(cur)
+        nxt = out_cur[:IN_H, :IN_W, :]
+        # keep out_mid live (fold a probe into the carried checksum)
+        acc = acc + jnp.sum(out_mid[:1, :8, 0].astype(jnp.float32))
+        return (cur, nxt, acc)
+
+    return body
+
+
 def bench_pipeline(mode: str, iters: int, overhead_s: float) -> dict:
+    if mode == "perf_interp":
+        frame = make_input()
+        prev = jax.device_put(frame)
+        cur = jax.device_put(np.roll(frame, 16, axis=1))
+        acc0 = jnp.zeros((), jnp.float32)
+        spf = timed_loop(perf_interp_body(), (prev, cur, acc0), iters, overhead_s)
+        return {"fps": 2.0 / spf, "step_ms": spf * 1000.0}
     frame = make_input()
     prev = jax.device_put(frame)
     cur = jax.device_put(np.roll(frame, 16, axis=1))
@@ -155,6 +186,12 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         res_flow_half = {"fps": 0.0}
         log(f"pipeline[hs-half] failed: {e}")
+    try:
+        res_perf = bench_pipeline("perf_interp", max(iters // 4, 3), overhead)
+        log(f"pipeline[hs-perf] {res_perf['fps']:9.1f} out-fps  {res_perf['step_ms']:.3f} ms/step")
+    except Exception as e:  # noqa: BLE001
+        res_perf = {"fps": 0.0}
+        log(f"pipeline[hs-perf] failed: {e}")
 
     extras = {}
     for algo in ("bilinear", "lanczos3", "bicubic"):
@@ -179,6 +216,7 @@ def main() -> None:
                 "step_ms": round(res_blend["step_ms"], 3),
                 "flow_mode_fps": round(res_flow["fps"], 1),
                 "flow_half_fps": round(res_flow_half["fps"], 1),
+                "perf_interp_fps": round(res_perf["fps"], 1),
                 "platform": dev.platform,
                 **extras,
             }
