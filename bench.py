@@ -65,7 +65,7 @@ def timed_loop(body, state0, iters: int, overhead_s: float) -> float:
         return jax.lax.fori_loop(0, iters, lambda i, s: body(s), state)
 
     out = run(state0)  # compile + warm
-    probe = jax.jit(lambda s: sum(jnp.sum(x[..., :1, :1, :].astype(jnp.float32)) for x in jax.tree_util.tree_leaves(s)))
+    probe = jax.jit(lambda s: sum(jnp.sum(x.reshape(-1)[:2].astype(jnp.float32)) for x in jax.tree_util.tree_leaves(s)))
     float(probe(out))
     t0 = time.perf_counter()
     out = run(state0)

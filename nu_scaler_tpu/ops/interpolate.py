@@ -351,18 +351,23 @@ def block_warp_planar(
     pad = rng + 2
     padded = jnp.pad(img_p, ((0, 0), (pad, pad), (pad, pad)), mode="edge")
 
-    out = jnp.zeros_like(img_p)
-    for i in range(k):
-        base = jax.lax.dynamic_slice(
-            padded,
-            (0, pad + cand_y[i], pad + cand_x[i]),
-            (c, h + 1, w + 1),
+    # K candidate slabs, ONE select pass, ONE subpixel lerp. (Lerping after
+    # the select reads the +1 neighbor from the winning tile's slab even
+    # across tile boundaries — a 1px approximation where adjacent tiles
+    # chose different candidates, in exchange for K× fewer lerp passes.)
+    slabs = [
+        jax.lax.dynamic_slice(
+            padded, (0, pad + cand_y[i], pad + cand_x[i]), (c, h + 1, w + 1)
         )
-        top_row = base[:, :h, :w] + frx_px * (base[:, :h, 1:] - base[:, :h, :w])
-        bot_row = base[:, 1:, :w] + frx_px * (base[:, 1:, 1:] - base[:, 1:, :w])
-        val = top_row + fry_px * (bot_row - top_row)
-        out = out + jnp.where((assign_px == i)[None], val, 0.0)
-    return out
+        for i in range(k)
+    ]
+    assign_pad = jnp.pad(assign_px, ((0, 1), (0, 1)), mode="edge")[None]
+    combined = jax.lax.select_n(
+        jnp.broadcast_to(assign_pad, (c, h + 1, w + 1)), *slabs
+    )
+    top_row = combined[:, :h, :w] + frx_px * (combined[:, :h, 1:] - combined[:, :h, :w])
+    bot_row = combined[:, 1:, :w] + frx_px * (combined[:, 1:, 1:] - combined[:, 1:, :w])
+    return top_row + fry_px * (bot_row - top_row)
 
 
 def block_warp(
