@@ -72,12 +72,18 @@ class LivePipeline:
         interp_fn: Optional[Callable] = None,
         device=None,
         depth: int = 2,
+        amortize_blend: bool = False,
     ) -> None:
         self.upscale_fn = upscale_fn
         self.interp_fn = interp_fn
         self.device = device or jax.devices()[0]
         self.depth = max(1, depth)
+        # cross-fade commutes with linear resampling: blend ALREADY-UPSCALED
+        # frames and reuse the previous step's upscale — one upscale + one
+        # cheap blend per 2 output frames (valid for blend-mode interp only)
+        self.amortize_blend = amortize_blend
         self._prev: Optional[jax.Array] = None
+        self._prev_up: Optional[jax.Array] = None
         self._inflight: list[tuple] = []
         self.frames_in = 0
         self.frames_out = 0
@@ -86,10 +92,17 @@ class LivePipeline:
         """Feed one captured frame; returns 0+ completed output frames."""
         cur = jax.device_put(frame, self.device)
         outs: list = []
-        if self.interp_fn is not None and self._prev is not None:
-            mid = self.interp_fn(self._prev, cur, 0.5)
-            outs.append(self.upscale_fn(mid))
-        outs.append(self.upscale_fn(cur))
+        if self.amortize_blend and self.interp_fn is not None:
+            cur_up = self.upscale_fn(cur)
+            if self._prev_up is not None:
+                outs.append(self.interp_fn(self._prev_up, cur_up, 0.5))
+            outs.append(cur_up)
+            self._prev_up = cur_up
+        else:
+            if self.interp_fn is not None and self._prev is not None:
+                mid = self.interp_fn(self._prev, cur, 0.5)
+                outs.append(self.upscale_fn(mid))
+            outs.append(self.upscale_fn(cur))
         self._prev = cur
         self.frames_in += 1
         self._inflight.append(tuple(outs))

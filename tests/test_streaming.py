@@ -54,3 +54,25 @@ def test_benchmark_live_pipeline(rng):
     assert stats["output_frames"] == 8
     assert stats["fps"] > 0
     assert stats["p50_step_ms"] >= 0
+
+
+def test_live_pipeline_amortized_blend(rng):
+    from nu_scaler_tpu.ops import interpolate as interp
+    from nu_scaler_tpu.ops.metrics import psnr
+
+    up = resample.make_resampler(16, 16, 32, 32, "bilinear")
+    blend = lambda a, b, t: interp.blend_only(a, b, t)  # noqa: E731
+    frames = _frames(rng, 4)
+
+    naive = LivePipeline(up, blend, depth=1)
+    fast = LivePipeline(up, blend, depth=1, amortize_blend=True)
+    outs_n, outs_f = [], []
+    for f in frames:
+        outs_n += naive.put(f)
+        outs_f += fast.put(f)
+    outs_n += naive.drain()
+    outs_f += fast.drain()
+    assert len(outs_n) == len(outs_f) == 7
+    # blend∘upscale vs upscale∘blend agree up to rounding
+    for a, b in zip(outs_n, outs_f):
+        assert psnr(np.asarray(a), np.asarray(b)) >= 50.0
