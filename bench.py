@@ -226,6 +226,39 @@ def main() -> None:
         fps = bench_upscale(algo, iters, overhead)
         extras[f"upscale_{algo}_fps"] = round(fps, 1)
         log(f"upscale[{algo:9}] 1080p→4K {fps:9.1f} fps")
+
+    # on-chip fidelity evidence: PSNR of the production lanczos3 kernel vs
+    # the numpy golden, on this very device
+    try:
+        from nu_scaler_tpu.kernels.reference import separable_resample_ref
+        from nu_scaler_tpu.ops.metrics import psnr
+
+        frame = make_input()
+        out = np.asarray(
+            resample.make_resampler(IN_H, IN_W, OUT_H, OUT_W, "lanczos3")(
+                jax.device_put(frame)
+            )
+        )
+        golden = separable_resample_ref(frame, OUT_H, OUT_W, "lanczos3")
+        extras["psnr_lanczos3_db"] = round(psnr(out, golden), 1)
+        log(f"fidelity: lanczos3 on-chip PSNR vs golden {extras['psnr_lanczos3_db']} dB")
+    except Exception as e:  # noqa: BLE001
+        log(f"psnr check failed: {e}")
+
+    # Pallas fused kernel (experimental) vs the XLA banded path
+    try:
+        from nu_scaler_tpu.kernels.resample_pallas import make_pallas_resampler
+
+        pfn = make_pallas_resampler(IN_H, IN_W, OUT_H, OUT_W, "lanczos3")
+        if pfn is not None:
+            def pbody(state):
+                return pfn(state)[:IN_H, :IN_W, :]
+
+            spf = timed_loop(pbody, jax.device_put(make_input()), iters, overhead)
+            extras["pallas_lanczos3_fps"] = round(1.0 / spf, 1)
+            log(f"upscale[pallas   ] 1080p→4K {1.0/spf:9.1f} fps")
+    except Exception as e:  # noqa: BLE001
+        log(f"pallas resample bench failed: {str(e)[:200]}")
     try:
         fps = bench_fsr(iters, overhead)
         extras["fsr_easu_rcas_fps"] = round(fps, 1)

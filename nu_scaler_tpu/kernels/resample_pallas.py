@@ -44,20 +44,18 @@ def _vert_kernel(w_ref, b0_ref, b1_ref, out_ref):
 def _horiz_kernel(w_ref, b0_ref, b1_ref, out_ref):
     """Horizontal pass on f32 rows.
 
-    b0/b1: [tr, stride*4]; de-interleave channels → [tr, s2, 4], contract
-    texels against W_t [s2, tc], re-interleave → [tr, tc*4], trunc-pack u8.
+    b0/b1: [tr, stride*4] with RGBA interleaved in lanes. Mosaic can't
+    reshape across lanes ((8,512)→(8,128,4) is unsupported), so the weights
+    arrive pre-expanded as kron(W_t, I4) [s2*4, tc*4] and the contraction
+    runs directly on interleaved lanes.
     """
-    tr = b0_ref.shape[0]
-    s2 = (b0_ref.shape[1] + b1_ref.shape[1]) // LANES
     slab = jnp.concatenate([b0_ref[:], b1_ref[:]], axis=1)
-    slab = slab.reshape(tr, s2, LANES)
     out = jax.lax.dot_general(
         slab,
         w_ref[0],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [tr, LANES, tc]
-    out = out.transpose(0, 2, 1).reshape(tr, -1)
+    )  # [tr, tc*4]
     out_ref[:] = jnp.trunc(jnp.clip(out, 0.0, 1.0) * 255.0).astype(jnp.int32).astype(
         jnp.uint8
     )
@@ -77,7 +75,9 @@ def make_pallas_resampler(in_h: int, in_w: int, out_h: int, out_w: int, algorith
 
     interpret = jax.default_backend() == "cpu"
     wv = jnp.asarray(av.transpose(0, 2, 1))  # [t, tc, s2]
-    wh = jnp.asarray(ah)  # [t, s2, tc]
+    # horizontal weights expanded over interleaved RGBA lanes: kron(W, I4)
+    eye4 = np.eye(LANES, dtype=np.float32)
+    wh = jnp.asarray(np.kron(ah, eye4[None]))  # [t, s2*4, tc*4]
 
     wl = in_w * LANES
     vert = pl.pallas_call(
@@ -101,7 +101,7 @@ def make_pallas_resampler(in_h: int, in_w: int, out_h: int, out_w: int, algorith
         out_shape=jax.ShapeDtypeStruct((rows_p, t_h * tc_h * LANES), jnp.uint8),
         grid=(rows_p // TRH, t_h),
         in_specs=[
-            pl.BlockSpec((1, 2 * stride_h, tc_h), lambda r, t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * stride_h * LANES, tc_h * LANES), lambda r, t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TRH, stride_h * LANES), lambda r, t: (r, t), memory_space=pltpu.VMEM),
             pl.BlockSpec((TRH, stride_h * LANES), lambda r, t: (r, t + 1), memory_space=pltpu.VMEM),
         ],
