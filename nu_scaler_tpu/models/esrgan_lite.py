@@ -68,6 +68,40 @@ class ESRGANLite(nn.Module):
         return base + out
 
 
+class ESRGANLiteTPU(nn.Module):
+    """TPU-layout variant: space-to-depth(2) front end so the trunk runs at
+    half spatial resolution with a lane-friendly channel count, and the tail
+    emits all output phases at once (depth-to-space 2*upscale).
+
+    Rationale: the base net's 32-feature NHWC convs at full 1080p measured
+    ~86 ms/frame — C=32 underfills the 128-lane dim and every layer drags
+    full-resolution activations through HBM. Halving spatial dims and
+    doubling channels keeps the same information with ~4× less traffic.
+    """
+
+    features: int = 64
+    blocks: int = 3
+    upscale: int = 2  # overall spatial scale factor
+
+    @nn.compact
+    def __call__(self, x):  # x: [N, H, W, 3] float32/bf16 in [0,1]
+        n, h, w, c = x.shape
+        s2d = x.reshape(n, h // 2, 2, w // 2, 2, c)
+        s2d = s2d.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+        feat = nn.Conv(self.features, (3, 3), padding="SAME", name="head")(s2d)
+        hdn = feat
+        for i in range(self.blocks):
+            hdn = ResBlock(self.features, name=f"block{i}")(hdn)
+        hdn = nn.Conv(self.features, (3, 3), padding="SAME", name="trunk")(hdn) + feat
+        r = 2 * self.upscale  # phases relative to the half-res trunk grid
+        tail = nn.Conv(r * r * 3, (3, 3), padding="SAME", name="tail")(hdn)
+        nh, nw = h // 2, w // 2
+        out = tail.reshape(n, nh, nw, r, r, 3)
+        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(n, nh * r, nw * r, 3)
+        base = jax.image.resize(x, (n, h * self.upscale, w * self.upscale, 3), "bilinear")
+        return base + out
+
+
 def scale_to_stages(in_h: int, out_h: int) -> int:
     ratio = out_h / in_h
     stages = max(1, int(round(np.log2(max(ratio, 2.0)))))
@@ -189,8 +223,21 @@ def make_pretrained_upscaler(
     reduced mantissa costs <0.5 dB.
     """
     stages = scale_to_stages(in_h, out_h)
-    model = ESRGANLite(stages=stages)
-    params = jax.tree_util.tree_map(lambda p: p.astype(dtype), get_params(stages))
+    # prefer the TPU-layout variant when its checkpoint exists
+    model = None
+    try:
+        from nu_scaler_tpu.models.train import load_checkpoint
+
+        restored = load_checkpoint(stages, "tpu")
+        if restored is not None:
+            model = ESRGANLiteTPU(upscale=2 * stages if stages > 1 else 2)
+            params = restored[0]
+    except Exception:  # noqa: BLE001
+        pass
+    if model is None:
+        model = ESRGANLite(stages=stages)
+        params = get_params(stages)
+    params = jax.tree_util.tree_map(lambda p: p.astype(dtype), params)
 
     def fn(img_u8):
         f = img_u8.astype(jnp.float32) * (1.0 / 255.0)

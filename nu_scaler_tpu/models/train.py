@@ -29,14 +29,16 @@ from nu_scaler_tpu.models import esrgan_lite as el
 CKPT_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "checkpoints")
 
 
-def ckpt_dir(stages: int) -> str:
+def ckpt_dir(stages: int, arch: str = "lite") -> str:
+    if arch == "tpu":
+        return os.path.join(CKPT_ROOT, f"esrgan_tpu_x{stages * 2}")
     return os.path.join(CKPT_ROOT, f"esrgan_lite_s{stages}")
 
 
-def save_checkpoint(params, stages: int, step: int) -> str:
+def save_checkpoint(params, stages: int, step: int, arch: str = "lite") -> str:
     import orbax.checkpoint as ocp
 
-    path = os.path.abspath(ckpt_dir(stages))
+    path = os.path.abspath(ckpt_dir(stages, arch))
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(os.path.join(path, str(step)), params, force=True)
     # update the "latest" pointer
@@ -45,11 +47,11 @@ def save_checkpoint(params, stages: int, step: int) -> str:
     return path
 
 
-def load_checkpoint(stages: int):
+def load_checkpoint(stages: int, arch: str = "lite"):
     """Returns (params, step) or None."""
     import orbax.checkpoint as ocp
 
-    path = os.path.abspath(ckpt_dir(stages))
+    path = os.path.abspath(ckpt_dir(stages, arch))
     latest = os.path.join(path, "latest.txt")
     if not os.path.exists(latest):
         return None
@@ -106,6 +108,16 @@ def make_batch(rng: np.random.Generator, batch: int, size: int = 64):
     return lr, hr
 
 
+def make_model(arch: str, stages: int):
+    if arch == "tpu":
+        model = el.ESRGANLiteTPU(upscale=2 * stages if stages > 1 else 2)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32)
+        )
+        return model, params
+    return el.init_params(0, stages)
+
+
 def train(
     steps: int = 200,
     batch: int = 8,
@@ -114,11 +126,12 @@ def train(
     seed: int = 0,
     log_every: int = 25,
     save: bool = True,
+    arch: str = "lite",
 ) -> float:
     """Returns final loss."""
     rng = np.random.default_rng(seed)
-    model, params = el.init_params(seed, stages)
-    restored = load_checkpoint(stages)
+    model, params = make_model(arch, stages)
+    restored = load_checkpoint(stages, arch)
     if restored is not None:
         params, start = restored
         print(f"resumed from step {start}")
@@ -135,9 +148,10 @@ def train(
             print(f"step {step:5d}  loss {float(loss):.5f}  ({time.time()-t0:.1f}s)")
     print(f"final loss {float(loss):.5f}")
     if save:
-        path = save_checkpoint(jax.device_get(params), stages, steps)
+        path = save_checkpoint(jax.device_get(params), stages, steps, arch)
         print(f"checkpoint: {path}")
-    el.set_params(stages, params)
+    if arch == "lite":
+        el.set_params(stages, params)
     return float(loss)
 
 
@@ -147,10 +161,11 @@ if __name__ == "__main__":
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--stages", type=int, default=1)
     p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--arch", default="lite", choices=["lite", "tpu"])
     p.add_argument("--cpu", action="store_true", help="force the CPU backend "
                    "(the site config pins JAX_PLATFORMS=axon; env vars alone "
                    "don't override it)")
     args = p.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    train(args.steps, args.batch, args.stages, args.lr)
+    train(args.steps, args.batch, args.stages, args.lr, arch=args.arch)
