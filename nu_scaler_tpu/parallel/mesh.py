@@ -94,24 +94,8 @@ def shard_spatial_resampler(
     ndev = mesh.devices.size
     if out_h % ndev:
         raise ValueError(f"out_h {out_h} not divisible by mesh size {ndev}")
-    if algorithm in ("nearest", "bilinear"):
-        # row-block gather kernels: each shard computes its slice of output
-        # rows directly from the replicated input
-        def body(img):  # img replicated [H, W, 4]
-            idx = jax.lax.axis_index("batch")
-            rows = out_h // ndev
-            fn = _resample.make_resampler(in_h, in_w, out_h, out_w, algorithm)
-            full = fn(img)  # XLA DCEs the rows this shard doesn't keep
-            return jax.lax.dynamic_slice_in_dim(full, idx * rows, rows, axis=0)
-
-        sharded = shard_map(
-            body,
-            mesh=mesh,
-            in_specs=P(),
-            out_specs=P("batch"),
-        )
-        return jax.jit(sharded)
-
+    # every algorithm (incl. nearest/bilinear with their WGSL alignment) has a
+    # weight matrix; shard its rows so each chip computes its output-row block
     wv = jnp.asarray(_resample._axis_weights(in_h, out_h, algorithm))
     wh = jnp.asarray(_resample._axis_weights(in_w, out_w, algorithm))
 
