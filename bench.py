@@ -198,10 +198,18 @@ def main() -> None:
     log(f"host<->device fetch overhead: {overhead*1000:.2f} ms (subtracted once per run)")
     iters = 100 if dev.platform == "tpu" else 5
 
-    res_blend = bench_pipeline("blend_amortized", iters, overhead)
-    log(f"pipeline[blend  ] {res_blend['fps']:9.1f} out-fps  {res_blend['step_ms']:.3f} ms/step (amortized)")
-    res_blend_naive = bench_pipeline("blend", iters, overhead)
-    log(f"pipeline[blend-2x] {res_blend_naive['fps']:9.1f} out-fps  {res_blend_naive['step_ms']:.3f} ms/step (pair-upscale)")
+    try:
+        res_blend = bench_pipeline("blend_amortized", iters, overhead)
+        log(f"pipeline[blend  ] {res_blend['fps']:9.1f} out-fps  {res_blend['step_ms']:.3f} ms/step (amortized)")
+    except Exception as e:  # noqa: BLE001
+        res_blend = {"fps": 0.0, "step_ms": 0.0}
+        log(f"pipeline[blend] failed: {e}")
+    try:
+        res_blend_naive = bench_pipeline("blend", iters, overhead)
+        log(f"pipeline[blend-2x] {res_blend_naive['fps']:9.1f} out-fps  {res_blend_naive['step_ms']:.3f} ms/step (pair-upscale)")
+    except Exception as e:  # noqa: BLE001
+        res_blend_naive = {"fps": 0.0}
+        log(f"pipeline[blend-2x] failed: {e}")
     try:
         res_flow = bench_pipeline("flow", max(iters // 10, 3), overhead)
         log(f"pipeline[hs-flow] {res_flow['fps']:9.1f} out-fps  {res_flow['step_ms']:.3f} ms/step")
@@ -223,9 +231,12 @@ def main() -> None:
 
     extras = {}
     for algo in ("bilinear", "lanczos3", "bicubic"):
-        fps = bench_upscale(algo, iters, overhead)
-        extras[f"upscale_{algo}_fps"] = round(fps, 1)
-        log(f"upscale[{algo:9}] 1080p→4K {fps:9.1f} fps")
+        try:
+            fps = bench_upscale(algo, iters, overhead)
+            extras[f"upscale_{algo}_fps"] = round(fps, 1)
+            log(f"upscale[{algo:9}] 1080p→4K {fps:9.1f} fps")
+        except Exception as e:  # noqa: BLE001
+            log(f"upscale[{algo}] failed: {e}")
 
     # on-chip fidelity evidence: PSNR of the production lanczos3 kernel vs
     # the numpy golden, on this very device
