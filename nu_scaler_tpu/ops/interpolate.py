@@ -106,6 +106,35 @@ def build_pyramid(img_f: jax.Array, levels: int) -> list[jax.Array]:
     return pyr
 
 
+def _gaussian_blur2d(lum: jax.Array) -> jax.Array:
+    """5-tap 1-4-6-4-1/16 blur on a 2D luma plane (no channel dim — a
+    channel-minor [H, W, C] f32 pyramid pays ~6× lane padding on TPU)."""
+    w = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0], dtype=lum.dtype) / 16.0
+    out = sum(w[k] * _shift_edge(lum, k - 2, axis=-1) for k in range(5))
+    out = sum(w[k] * _shift_edge(out, k - 2, axis=-2) for k in range(5))
+    return out
+
+
+def _downsample2x_2d(lum: jax.Array) -> jax.Array:
+    h, w = lum.shape[-2], lum.shape[-1]
+    oh, ow = h // 2, w // 2
+    v = lum[..., : oh * 2, : ow * 2]
+    v = v.reshape(*lum.shape[:-2], oh, 2, ow, 2)
+    return v.mean(axis=(-1, -3))
+
+
+def build_luma_pyramid(frame_u8: jax.Array, levels: int) -> list[jax.Array]:
+    """Luminance-first pyramid: one [H, W] 2D plane per level. Equivalent to
+    luminance(build_pyramid(rgb)) because blur/downsample are linear and
+    channel-independent, at ~1/6 the cost."""
+    f = frame_u8.astype(jnp.float32) * (1.0 / 255.0)
+    lum = luminance(f)
+    pyr = [lum]
+    for _ in range(levels - 1):
+        pyr.append(_downsample2x_2d(_gaussian_blur2d(pyr[-1])))
+    return pyr
+
+
 # ---------------------------------------------------------------------------
 # Horn–Schunck
 # ---------------------------------------------------------------------------
@@ -416,11 +445,9 @@ def compute_flow_fast(
     1/2^base_level resolution and upsampled to full — the latency knob for
     the live pipeline (flow fields are smooth; quality loss is small).
     """
-    a = frame_a.astype(jnp.float32) * (1.0 / 255.0)
-    b = frame_b.astype(jnp.float32) * (1.0 / 255.0)
-    full_h, full_w = a.shape[-3], a.shape[-2]
-    lums_a = [luminance(p) for p in build_pyramid(a, levels)]
-    lums_b = [luminance(p) for p in build_pyramid(b, levels)]
+    full_h, full_w = frame_a.shape[-3], frame_a.shape[-2]
+    lums_a = build_luma_pyramid(frame_a, levels)
+    lums_b = build_luma_pyramid(frame_b, levels)
 
     flow = jnp.zeros(lums_a[-1].shape + (2,), jnp.float32)
     flow = horn_schunck(lums_a[-1], lums_b[-1], flow, coarse_iters, lam)
