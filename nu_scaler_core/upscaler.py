@@ -89,6 +89,7 @@ class PyWgpuUpscaler:
             self.input_height, self.input_width, self.output_height, self.output_width,
             self._algorithm,
         )
+        self._batch_polymorphic = True
         self._initialized = True
 
     # -- properties -------------------------------------------------------
@@ -149,6 +150,9 @@ class PyWgpuUpscaler:
         multi-chip mesh the batch is sharded data-parallel over the devices
         (the rayon→ICI mapping of SURVEY §2.6)."""
         self._check_ready()
+        if not getattr(self, "_batch_polymorphic", True):
+            arrs = [self._to_array(bytes(f)) for f in frames]
+            return [np.asarray(self._fn(a)).tobytes() for a in arrs]
         stacked = np.stack([self._to_array(bytes(f)) for f in frames])
         if jax.device_count() > 1:
             from nu_scaler_tpu.parallel.mesh import upscale_batch_sharded
@@ -214,6 +218,21 @@ class PyAdvancedWgpuUpscaler(PyWgpuUpscaler):
     ) -> None:
         super().initialize(input_width, input_height, output_width, output_height)
         self._upscale_scale = output_width / input_width  # lib.rs:434 (width-only)
+        # the learned "quality" tier (BASELINE.json north star: ESRGAN-lite
+        # replaces the dlss-sys/fsr3-sys role, served through
+        # create_advanced_upscaler("ultra")) — used when a trained checkpoint
+        # exists for this scale, falling back to the classical kernel
+        if self._quality == UpscalingQuality.ULTRA:
+            try:
+                from nu_scaler_tpu.models import esrgan_lite
+
+                self._fn = esrgan_lite.make_pretrained_upscaler(
+                    self.input_height, self.input_width,
+                    self.output_height, self.output_width,
+                )
+                self._batch_polymorphic = False  # net body is single-frame
+            except Exception as e:  # noqa: BLE001
+                print(f"Warning: learned tier unavailable, classical kernel kept: {e}")
         # strategy by image size (lib.rs:437-456)
         total_pixels = input_width * input_height
         if total_pixels > 4 * 1920 * 1080:

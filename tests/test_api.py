@@ -207,3 +207,14 @@ def test_interpolator_flow_mode():
 def test_constants_usable_as_ctor_args():
     up = nsc.PyWgpuUpscaler(nsc.QUALITY_ULTRA, "bilinear")
     assert up._quality == nsc.UpscalingQuality.ULTRA
+
+
+def test_advanced_ultra_learned_tier(pattern):
+    """create_advanced_upscaler('ultra') serves the learned ESRGAN tier when
+    a trained checkpoint exists (BASELINE north star)."""
+    up = nsc.create_advanced_upscaler("ultra")
+    up.initialize(32, 32, 64, 64)
+    out = up.upscale(pattern(32, 32).tobytes())
+    assert len(out) == 64 * 64 * 4
+    outs = up.upscale_batch([pattern(32, 32).tobytes()] * 2)
+    assert len(outs) == 2 and outs[0] == out
