@@ -111,6 +111,11 @@ def _scale_of(pm) -> int:
 
 
 def easu_polyphase(img_u8: jax.Array, scale: int, sharpness: float) -> jax.Array:
+    """Packed (u8 RGBA) wrapper over the planar polyphase EASU core."""
+    return _pack_planar(_easu_polyphase_planar(img_u8, scale, sharpness))
+
+
+def _easu_polyphase_planar(img_u8: jax.Array, scale: int, sharpness: float) -> jax.Array:
     """EASU for integer scale factors, polyphase-decomposed: every output
     phase (φy, φx) ∈ scale² has STATIC tap offsets, so the whole 4×4
     neighborhood is edge-padded static shifts of the input — no gathers.
@@ -171,9 +176,16 @@ def easu_polyphase(img_u8: jax.Array, scale: int, sharpness: float) -> jax.Array
             v = _interleave_last(phases[py][px], _phase_matrix(in_w, scale, px))
             acc = v if acc is None else acc + v
         out_p = out_p + _interleave_axis2(acc, _phase_matrix(in_h, scale, py))
-    out = out_p.transpose(1, 2, 0)
-    rgb_u8 = jnp.trunc(jnp.clip(out, 0.0, 1.0) * 255.0).astype(jnp.uint8)
-    alpha = jnp.full((in_h * scale, in_w * scale, 1), 255, jnp.uint8)
+    return out_p  # planar [3, H*s, W*s] f32
+
+
+def _pack_planar(rgb_p: jax.Array) -> jax.Array:
+    """Planar f32 [3,H,W] → RGBA u8 [H,W,4] with trunc packing; u8 is packed
+    BEFORE the transpose (an f32 relayout at 4K costs 4× the bytes)."""
+    h, w = rgb_p.shape[-2], rgb_p.shape[-1]
+    rgb_u8 = jnp.trunc(jnp.clip(rgb_p, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+    rgb_u8 = rgb_u8.transpose(1, 2, 0)
+    alpha = jnp.full((h, w, 1), 255, jnp.uint8)
     return jnp.concatenate([rgb_u8, alpha], axis=-1)
 
 
@@ -239,10 +251,12 @@ def _easu_general(img_u8: jax.Array, out_h: int, out_w: int, sharpness: float) -
 
 def rcas(img_u8: jax.Array, sharpness: float) -> jax.Array:
     """Robust Contrast Adaptive Sharpening (FSR_RCAS_SHADER, fsr.rs:215-259)."""
-    h, w = img_u8.shape[-3], img_u8.shape[-2]
-    # planar [3, H, W] internals (channel-minor f32 pays lane padding on TPU)
     rgb = img_u8[..., :3].astype(jnp.float32).transpose(2, 0, 1) * (1.0 / 255.0)
+    return _pack_planar(_rcas_planar(rgb, sharpness))
 
+
+def _rcas_planar(rgb: jax.Array, sharpness: float) -> jax.Array:
+    """RCAS on planar [3, H, W] f32 in [0,1]."""
     center = rgb
     top = _shift2(rgb, -1, 0)
     bottom = _shift2(rgb, 1, 0)
@@ -256,10 +270,7 @@ def rcas(img_u8: jax.Array, sharpness: float) -> jax.Array:
     smooth = t * t * (3.0 - 2.0 * t)
     strength = sharpness * (1.0 - smooth)
     lap = 4.0 * center - top - bottom - left - right
-    result = (center + lap * strength[None]).transpose(1, 2, 0)
-    rgb_u8 = jnp.trunc(jnp.clip(result, 0.0, 1.0) * 255.0).astype(jnp.uint8)
-    alpha = jnp.full((h, w, 1), 255, jnp.uint8)
-    return jnp.concatenate([rgb_u8, alpha], axis=-1)
+    return center + lap * strength[None]
 
 
 def fsr_upscale(img_u8: jax.Array, out_h: int, out_w: int, quality: str = "quality") -> jax.Array:
@@ -271,8 +282,20 @@ def fsr_upscale(img_u8: jax.Array, out_h: int, out_w: int, quality: str = "quali
 @functools.lru_cache(maxsize=64)
 def make_fsr_upscaler(in_h: int, in_w: int, out_h: int, out_w: int, quality: str):
     sharp = FSR_SHARPNESS.get((quality or "").lower(), FSR_SHARPNESS["quality"])
+    integer = out_h % in_h == 0 and out_w % in_w == 0 and out_h // in_h == out_w // in_w
 
-    def fn(img):
-        return rcas(easu(img, out_h, out_w, sharp), sharp)
+    if integer:
+        scale = out_h // in_h
+
+        def fn(img):
+            # fully planar EASU→RCAS chain; one pack+transpose at the end
+            return _pack_planar(
+                _rcas_planar(_easu_polyphase_planar(img, scale, sharp), sharp)
+            )
+
+    else:
+
+        def fn(img):
+            return rcas(easu(img, out_h, out_w, sharp), sharp)
 
     return jax.jit(fn)
