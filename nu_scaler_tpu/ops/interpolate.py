@@ -314,7 +314,7 @@ def blend_only(frame_a: jax.Array, frame_b: jax.Array, time_t: float | jax.Array
 # gathers anywhere.
 
 WARP_TILE = (8, 128)
-WARP_RANGE = 24  # max |motion| in pixels the block warp honors
+WARP_RANGE = 48  # max |motion| in pixels the block warp honors (≈ 1.5 tiles)
 WARP_K = 8  # candidate offsets per warp
 
 
