@@ -133,3 +133,102 @@ def make_pallas_resampler(in_h: int, in_w: int, out_h: int, out_w: int, algorith
 
 def pallas_resample_available(in_h: int, in_w: int, out_h: int, out_w: int, algorithm: str) -> bool:
     return make_pallas_resampler(in_h, in_w, out_h, out_w, algorithm) is not None
+
+
+# ---------------------------------------------------------------------------
+# fully-fused single-kernel variant
+# ---------------------------------------------------------------------------
+#
+# One pallas_call does BOTH separable passes per output tile: the f32
+# intermediate never touches HBM (the two-call version writes+reads ~132 MB
+# of it per 4K frame). Each grid step (i, j) reads a 2×2 block neighborhood
+# (row slabs i, i+1 × col slabs j, j+1), contracts vertically then
+# horizontally with bf16 hi/lo-split weights (split_bf16 numerics, ≥50 dB),
+# and writes one u8 tile.
+
+
+def _fused_kernel(wv_ref, wh_ref, b00, b01, b10, b11, out_ref):
+    top = jnp.concatenate([b00[:], b01[:]], axis=1)
+    bot = jnp.concatenate([b10[:], b11[:]], axis=1)
+    slab = jnp.concatenate([top, bot], axis=0)  # [2sv, 2sh*4] u8
+    slab16 = slab.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+
+    def split_dot(w2, x, dims):
+        hi = jax.lax.dot_general(w2[0], x, dimension_numbers=dims,
+                                 preferred_element_type=jnp.float32)
+        lo = jax.lax.dot_general(w2[1], x, dimension_numbers=dims,
+                                 preferred_element_type=jnp.float32)
+        return hi + lo
+
+    dims = (((1,), (0,)), ((), ()))
+    mid = split_dot(wv_ref[0], slab16, dims)  # [tc_v, 2sh*4] f32
+    mid16 = mid.astype(jnp.bfloat16)
+    out = split_dot(
+        jnp.transpose(wh_ref[0], (0, 2, 1)), jnp.transpose(mid16), dims
+    )  # wh [2, 2sh*4, tcl] -> transposed [2, tcl, 2sh*4] @ mid16.T [2sh*4, tc_v]
+    out = jnp.transpose(out)  # [tc_v, tc_h*4]
+    out_ref[:] = (
+        jnp.trunc(jnp.clip(out, 0.0, 255.0)).astype(jnp.int32).astype(jnp.uint8)
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def make_pallas_fused(in_h: int, in_w: int, out_h: int, out_w: int, algorithm: str):
+    """Fused both-axes resampler; returns None when the banded form doesn't
+    tile. Numerics: split_bf16 on raw u8-range samples (matches the XLA
+    production path)."""
+    algorithm = _r.normalize_algorithm(algorithm)
+    bv = _r._banded_axis(in_h, out_h, algorithm)
+    bh = _r._banded_axis(in_w, out_w, algorithm)
+    if bv is None or bh is None:
+        return None
+    av, stride_v, halo_v, tc_v, t_v = bv
+    ah, stride_h, halo_h, tc_h, t_h = bh
+
+    def split2(a):  # np [.., ..] f32 → stacked bf16 [2, ...]
+        hi = a.astype(jnp.bfloat16)
+        lo = (a - np.asarray(hi).astype(np.float32)).astype(jnp.bfloat16)
+        return np.stack([np.asarray(hi), np.asarray(lo)])
+
+    # vertical: [t, 2, tc, 2sv]; horizontal kron over lanes: [t, 2, 2sh*4, tc*4]
+    wv = jnp.asarray(split2(av.transpose(0, 2, 1)).transpose(1, 0, 2, 3))
+    eye4 = np.eye(LANES, dtype=np.float32)
+    ah_kron = np.kron(ah, eye4[None])
+    wh = jnp.asarray(split2(ah_kron).transpose(1, 0, 2, 3))
+
+    interpret = jax.default_backend() == "cpu"
+    shl = stride_h * LANES
+    call = pl.pallas_call(
+        _fused_kernel,
+        out_shape=jax.ShapeDtypeStruct((t_v * tc_v, t_h * tc_h * LANES), jnp.uint8),
+        grid=(t_v, t_h),
+        in_specs=[
+            pl.BlockSpec((1, 2, tc_v, 2 * stride_v), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, 2 * shl, tc_h * LANES), lambda i, j: (j, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((stride_v, shl), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((stride_v, shl), lambda i, j: (i, j + 1), memory_space=pltpu.VMEM),
+            pl.BlockSpec((stride_v, shl), lambda i, j: (i + 1, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((stride_v, shl), lambda i, j: (i + 1, j + 1), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tc_v, tc_h * LANES), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )
+
+    total_v = (t_v + 1) * stride_v
+    total_h = (t_h + 1) * stride_h
+
+    def fn(img_u8: jax.Array) -> jax.Array:
+        flat = img_u8.reshape(in_h, in_w * LANES)
+        flat = jnp.pad(
+            flat,
+            (
+                (halo_v, total_v - halo_v - in_h),
+                (halo_h * LANES, (total_h - halo_h - in_w) * LANES),
+            ),
+        )
+        out = call(wv, wh, flat, flat, flat, flat)
+        return out[:out_h, : out_w * LANES].reshape(out_h, out_w, LANES)
+
+    return jax.jit(fn)
