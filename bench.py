@@ -113,11 +113,13 @@ def pipeline_body(mode: str):
             return interp_ops.warp_blend_fast(a, b, flow, t)
 
     def body(state):
-        prev, cur = state
+        prev, cur, acc = state
         mid = mid_fn(prev, cur, 0.5)
-        out = up(jnp.stack([mid, cur]))  # ONE batched MXU contraction
-        nxt = out[1, :IN_H, :IN_W, :]  # contiguous crop — chains the loop (strided slicing is slow on TPU)
-        return (cur, nxt)
+        out_mid = up(mid)  # single-frame calls ride the fused Pallas kernel
+        out_cur = up(cur)
+        nxt = out_cur[:IN_H, :IN_W, :]
+        acc = acc + jnp.sum(out_mid[:1, :8, 0].astype(jnp.float32))  # keep mid live
+        return (cur, nxt, acc)
 
     return body
 
@@ -147,6 +149,13 @@ def perf_interp_body():
 
 
 def bench_pipeline(mode: str, iters: int, overhead_s: float) -> dict:
+    if mode in ("blend", "flow", "flow_half"):
+        frame = make_input()
+        prev = jax.device_put(frame)
+        cur = jax.device_put(np.roll(frame, 16, axis=1))
+        acc0 = jnp.zeros((), jnp.float32)
+        spf = timed_loop(pipeline_body(mode), (prev, cur, acc0), iters, overhead_s)
+        return {"fps": 2.0 / spf, "step_ms": spf * 1000.0}
     if mode == "perf_interp":
         frame = make_input()
         prev = jax.device_put(frame)
@@ -162,11 +171,7 @@ def bench_pipeline(mode: str, iters: int, overhead_s: float) -> dict:
         acc0 = jnp.zeros((), jnp.float32)
         spf = timed_loop(blend_amortized_body(), (prev_up, cur, acc0), iters, overhead_s)
         return {"fps": 2.0 / spf, "step_ms": spf * 1000.0}
-    frame = make_input()
-    prev = jax.device_put(frame)
-    cur = jax.device_put(np.roll(frame, 16, axis=1))
-    spf = timed_loop(pipeline_body(mode), (prev, cur), iters, overhead_s)
-    return {"fps": 2.0 / spf, "step_ms": spf * 1000.0}  # 2 output frames/step
+    raise ValueError(f"unknown bench mode {mode!r}")
 
 
 def bench_upscale(algorithm: str, iters: int, overhead_s: float) -> float:
