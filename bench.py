@@ -271,8 +271,8 @@ def main() -> None:
                 return pfn(state)[:IN_H, :IN_W, :]
 
             spf = timed_loop(pbody, jax.device_put(make_input()), iters, overhead)
-            extras["pallas_lanczos3_fps"] = round(1.0 / spf, 1)
-            log(f"upscale[pallas   ] 1080p→4K {1.0/spf:9.1f} fps")
+            extras["pallas_twocall_lanczos3_fps"] = round(1.0 / spf, 1)
+            log(f"upscale[pallas-2call] 1080p→4K {1.0/spf:9.1f} fps (legacy; the fused kernel IS the lanczos3 line)")
     except Exception as e:  # noqa: BLE001
         log(f"pallas resample bench failed: {str(e)[:200]}")
     try:
