@@ -101,7 +101,15 @@ class ScreenCapture:
         if target.kind == "FullScreen":
             return fullscreen()
         if target.kind == "WindowByTitle":
-            # no compositor access in this environment: synthetic window-sized scene
+            # "window" sources beyond a compositor: video:<path.y4m> plays a
+            # clip, file:<path|dir> cycles stills — otherwise a synthetic
+            # window-sized scene (no compositor in this environment)
+            if target.title.startswith("video:"):
+                from nu_scaler_tpu.capture.video import VideoSource
+
+                return VideoSource(target.title[len("video:"):])
+            if target.title.startswith("file:"):
+                return _src.FileSource(target.title[len("file:"):])
             return _src.SyntheticSource(width=1280, height=720)
         if target.kind == "Region":
             return _RegionSource(fullscreen(), target.x, target.y, target.width, target.height)
