@@ -4,17 +4,20 @@ set `Nu_scale/src/upscale/common.rs:68-106`).
 
 Design
 ------
-* **nearest / bilinear** keep the exact WGSL semantics (top-left aligned
-  coordinates, trunc packing) as pure-JAX gathers — XLA fuses the index
-  arithmetic, gather and lerp into one loop over the output.
-* **bicubic / lanczos2 / lanczos3 / mitchell / area** are separable filters
-  realized as two dense weight-matrix contractions
-  (``W_v @ img @ W_h^T`` per channel).  On TPU this is the *right* shape: the
-  band structure is wasteful FLOP-wise but the MXU is so much faster than
-  gather-heavy VPU code that dense contraction wins by a wide margin, and XLA
-  fuses the u8⇄f32 conversions into the matmuls' prologue/epilogue.
-* Everything is shape-specialized and jitted; weight matrices are host-computed
-  once per (in, out, algorithm) and cached.
+* Every algorithm — nearest and bilinear (with their exact WGSL top-left
+  alignment and trunc packing) included — is expressed as a banded [O, I]
+  weight matrix per axis and executed as **block-banded MXU contractions**
+  (see the decomposition notes below). No gathers anywhere: they are
+  pathological on this TPU backend.
+* Precision strategy "split_bf16": samples stay in RAW u8 range (integers
+  ≤ 255 are bf16-exact) and only the weights split into bf16 hi+lo halves —
+  two default-precision MXU passes reach ≥ 50 dB at ~3× the speed of
+  Precision.HIGHEST.
+* Single frames on TPU dispatch to the fused one-kernel Pallas resampler
+  (`kernels/resample_pallas.make_pallas_fused`, both axes in VMEM); batched
+  inputs and CPU use the XLA einsum path below.
+* Everything is shape-specialized and jitted; weight matrices are
+  host-computed once per (in, out, algorithm) and cached.
 
 All functions take/return RGBA uint8 ``[H, W, 4]`` (batch variants ``[N, H, W, 4]``),
 the byte contract of the reference API.
