@@ -50,6 +50,9 @@ def main(argv=None) -> int:
     oh, ow = h * 2, w * 2
     print(f"{len(frames)} frames {w}x{h} → {ow}x{oh}")
 
+    from nu_scaler_tpu.utils.tracing import device_timer, fetch_overhead_s
+
+    ov = fetch_overhead_s() if jax.devices()[0].platform == "tpu" else 0.0
     for algo in ("lanczos3", "bicubic"):
         fn = resample.make_resampler(h, w, oh, ow, algo)
         fn(jnp.asarray(frames[0])).block_until_ready()  # compile
@@ -60,7 +63,21 @@ def main(argv=None) -> int:
             outs.append(fn(jnp.asarray(chunk)))
         jax.block_until_ready(outs)
         dt = time.perf_counter() - t0
-        print(f"batch upscale [{algo}]: {len(frames)/dt:8.1f} fps ({dt:.2f}s total)")
+        print(
+            f"batch upscale [{algo}]: {len(frames)/dt:8.1f} fps wall "
+            f"(incl. host→device transfer; the dev tunnel adds ~29 ms/dispatch)"
+        )
+        # device-resident throughput (chained loop, one fetch)
+        batch0 = jax.device_put(np.stack(frames[: args.batch]))
+        spb = device_timer(
+            lambda s, fn=fn: jnp.clip(
+                fn(s).astype(jnp.float32)[:, :h, :w, :], 0, 255
+            ).astype(jnp.uint8),
+            batch0,
+            iters=10,
+            overhead_s=ov,
+        )
+        print(f"batch upscale [{algo}]: {args.batch/spb:8.1f} fps device-resident")
 
     # 30→60fps interpolation (blend path)
     fn_i = interpolate.make_interpolator(h, w, "blend")
