@@ -14,9 +14,11 @@ Parity notes:
     pyramid → Horn–Schunck → refine → warp pipeline the reference designed
     but never got past its WGSL parser bugs (:816-839).
   * `get_last_gpu_duration_ms()` returns the device-side duration of the last
-    interpolate call (the reference used TIMESTAMP_QUERY, :389-438; here the
-    jitted computation is timed on-host around `block_until_ready`, which on
-    TPU bounds the device time from above).
+    interpolate call's shape (the reference used TIMESTAMP_QUERY, :389-438;
+    here a cached per-(shape, mode) fori_loop calibration measures pure device
+    time — wall timing through the axon tunnel would measure ~29 ms of fetch
+    overhead instead). `get_last_gpu_duration_detail()` adds the per-stage
+    breakdown the reference's timestamp pairs implied.
 """
 
 from __future__ import annotations
@@ -27,6 +29,11 @@ from typing import Optional
 import numpy as np
 
 from nu_scaler_tpu.ops import interpolate as _interp
+
+# (height, width, mode) pipelines already compiled+run once in this process —
+# interpolate_py warms each key a single time, not once per call
+_WARM: set = set()
+_FETCH_OVERHEAD_S: Optional[float] = None
 
 _PRESETS = {
     "8x8": (8, 8),
@@ -51,7 +58,8 @@ class WgpuFrameInterpolator:
             preset = (32, 8)  # default Wide32x8 (wgpu_interpolator.rs:180-186)
         self.workgroup_preset = preset
         self.mode = mode
-        self._last_gpu_duration_ms: Optional[float] = None
+        self._last_key: Optional[tuple] = None
+        self._last_wall_ms: Optional[float] = None
 
     # -- main entry (PyBytes parity) --------------------------------------
 
@@ -75,16 +83,49 @@ class WgpuFrameInterpolator:
         arr_a = np.frombuffer(a, np.uint8).reshape(height, width, 4)
         arr_b = np.frombuffer(b, np.uint8).reshape(height, width, 4)
 
+        global _FETCH_OVERHEAD_S
         fn = _interp.make_interpolator(height, width, self.mode)
-        fn(arr_a, arr_b, time_t).block_until_ready()  # ensure compiled before timing
+        key = (height, width, self.mode)
+        if key not in _WARM:
+            # compile once per (shape, mode) process-wide; every later call is
+            # a single device dispatch (the round-1 version re-ran the full
+            # pipeline twice per call as an always-on "warm-up")
+            np.asarray(fn(arr_a, arr_b, time_t))
+            _WARM.add(key)
+        if _FETCH_OVERHEAD_S is None:
+            from nu_scaler_tpu.utils import tracing
+
+            _FETCH_OVERHEAD_S = tracing.fetch_overhead_s(reps=3)
         t0 = time.perf_counter()
-        out = fn(arr_a, arr_b, time_t)
-        out.block_until_ready()
-        self._last_gpu_duration_ms = (time.perf_counter() - t0) * 1000.0
-        return np.asarray(out).tobytes()
+        out = np.asarray(fn(arr_a, arr_b, time_t))
+        wall = (time.perf_counter() - t0) - _FETCH_OVERHEAD_S
+        self._last_wall_ms = max(wall, 0.0) * 1000.0
+        self._last_key = key
+        return out.tobytes()
 
     def get_last_gpu_duration_ms(self) -> Optional[float]:
-        return self._last_gpu_duration_ms
+        """Device-side ms for the last call's (shape, mode) — a cached
+        fori_loop calibration (first call per shape pays one extra compile);
+        falls back to tunnel-corrected wall time if calibration fails."""
+        if self._last_key is None:
+            return None
+        try:
+            return _interp.calibrated_step_ms(*self._last_key)
+        except Exception:  # noqa: BLE001 — timing must never break the caller
+            return self._last_wall_ms
+
+    def get_last_gpu_duration_detail(self) -> Optional[dict]:
+        """Per-stage device timings for the last call's (shape, mode) — the
+        reference's per-pass timestamp pairs (total + flow + warp for the flow
+        modes), plus the host-observed wall ms of the actual last call."""
+        if self._last_key is None:
+            return None
+        try:
+            detail = dict(_interp.stage_timings_ms(*self._last_key))
+        except Exception:  # noqa: BLE001
+            detail = {}
+        detail["wall_ms"] = self._last_wall_ms
+        return detail
 
     # -- Rust-side API surface (tests used these; wgpu_interpolator.rs) ----
 

@@ -170,14 +170,20 @@ class PyWgpuUpscaler:
 
     def reload_shader(self, path: str) -> None:
         """Shader hot-reload compat (lib.rs:115-121). There is no WGSL to
-        reload; the kernel cache entry is rebuilt instead so the call remains
-        a meaningful 'recompile now' hook."""
+        reload; this instance's kernel is rebuilt fresh (bypassing the shared
+        LRU) so the call remains a meaningful 'recompile now' hook without
+        evicting other live upscalers' compiled programs."""
         self._shader_path = str(path)
         if self._initialized:
-            _resample.make_resampler.cache_clear()
-            self.initialize(
-                self.input_width, self.input_height, self.output_width, self.output_height
-            )
+            self._rebuild_kernel()
+
+    def _rebuild_kernel(self) -> None:
+        """Rebuild only this instance's compiled kernel (subclasses override
+        to rebuild their own tier)."""
+        self._fn = _resample.make_resampler.__wrapped__(
+            self.input_height, self.input_width,
+            self.output_height, self.output_width, self._algorithm,
+        )
 
     def set_thread_count(self, n: int) -> None:
         if n > 0:
@@ -242,6 +248,12 @@ class PyAdvancedWgpuUpscaler(PyWgpuUpscaler):
         else:
             self._pool.set_allocation_strategy(AllocationStrategy.AGGRESSIVE)
         self._pool.update_vram_usage(force=True)
+
+    def _rebuild_kernel(self) -> None:
+        # re-run the tier selection (classical kernel vs learned ultra tier)
+        self.initialize(
+            self.input_width, self.input_height, self.output_width, self.output_height
+        )
 
     # -- advanced features ------------------------------------------------
 
@@ -371,6 +383,12 @@ class PyFsrUpscaler(PyWgpuUpscaler):
     @property
     def name(self) -> str:
         return "FsrUpscaler"
+
+    def _rebuild_kernel(self) -> None:
+        self._fn = _fsr_ops.make_fsr_upscaler.__wrapped__(
+            self.input_height, self.input_width,
+            self.output_height, self.output_width, self._quality.value,
+        )
 
     def upscale_batch(self, frames: Iterable[bytes]) -> list[bytes]:
         # EASU's polyphase body is single-frame (planar internals); dispatch

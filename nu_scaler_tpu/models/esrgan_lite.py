@@ -230,7 +230,7 @@ def make_pretrained_upscaler(
 
         restored = load_checkpoint(stages, "tpu")
         if restored is not None:
-            model = ESRGANLiteTPU(upscale=2 * stages if stages > 1 else 2)
+            model = ESRGANLiteTPU(upscale=2**stages)
             params = restored[0]
     except Exception:  # noqa: BLE001
         pass

@@ -31,7 +31,7 @@ CKPT_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path
 
 def ckpt_dir(stages: int, arch: str = "lite") -> str:
     if arch == "tpu":
-        return os.path.join(CKPT_ROOT, f"esrgan_tpu_x{stages * 2}")
+        return os.path.join(CKPT_ROOT, f"esrgan_tpu_x{2**stages}")
     return os.path.join(CKPT_ROOT, f"esrgan_lite_s{stages}")
 
 
@@ -77,8 +77,8 @@ def load_or_init(stages: int):
 # ---------------------------------------------------------------------------
 
 
-def make_batch(rng: np.random.Generator, batch: int, size: int = 64):
-    """HR [N, size, size, 3] in [0,1] + LR 2x-downscaled (area)."""
+def make_batch(rng: np.random.Generator, batch: int, size: int = 64, scale: int = 2):
+    """HR [N, size, size, 3] in [0,1] + LR `scale`x-downscaled (area)."""
     n = batch
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
     hr = np.empty((n, size, size, 3), np.float32)
@@ -103,14 +103,14 @@ def make_batch(rng: np.random.Generator, batch: int, size: int = 64):
             else:
                 img[pos:, :] += rng.random(3) * 0.5
         hr[i] = np.clip(img / max(img.max(), 1e-3), 0, 1)
-    v = hr.reshape(n, size // 2, 2, size // 2, 2, 3)
+    v = hr.reshape(n, size // scale, scale, size // scale, scale, 3)
     lr = v.mean(axis=(2, 4))
     return lr, hr
 
 
 def make_model(arch: str, stages: int):
     if arch == "tpu":
-        model = el.ESRGANLiteTPU(upscale=2 * stages if stages > 1 else 2)
+        model = el.ESRGANLiteTPU(upscale=2**stages)
         params = model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32)
         )
@@ -131,6 +131,7 @@ def train(
     """Returns final loss."""
     rng = np.random.default_rng(seed)
     model, params = make_model(arch, stages)
+    start = 0
     restored = load_checkpoint(stages, arch)
     if restored is not None:
         params, start = restored
@@ -142,13 +143,15 @@ def train(
     loss = float("nan")
     t0 = time.time()
     for step in range(steps):
-        lr_b, hr_b = make_batch(rng, batch)
+        lr_b, hr_b = make_batch(rng, batch, scale=2**stages)
         params, opt_state, loss = step_fn(params, opt_state, jnp.asarray(lr_b), jnp.asarray(hr_b))
         if step % log_every == 0:
             print(f"step {step:5d}  loss {float(loss):.5f}  ({time.time()-t0:.1f}s)")
     print(f"final loss {float(loss):.5f}")
     if save:
-        path = save_checkpoint(jax.device_get(params), stages, steps, arch)
+        # checkpoint number = total training steps, not this run's count
+        # (resume from N + M steps saves as N+M, so latest never regresses)
+        path = save_checkpoint(jax.device_get(params), stages, start + steps, arch)
         print(f"checkpoint: {path}")
     if arch == "lite":
         el.set_params(stages, params)

@@ -608,3 +608,68 @@ def interpolate_frames(frame_a, frame_b, time_t: float = 0.5, mode: str = "blend
     a = jnp.asarray(frame_a, jnp.uint8)
     b = jnp.asarray(frame_b, jnp.uint8)
     return make_interpolator(a.shape[-3], a.shape[-2], mode)(a, b, float(time_t))
+
+
+# ---------------------------------------------------------------------------
+# Device-true timing — the TIMESTAMP_QUERY role (wgpu_interpolator.rs:389-438)
+# ---------------------------------------------------------------------------
+#
+# Wall-timing one call through the axon tunnel measures ~29 ms of fetch
+# overhead, not the device (CLAUDE.md). Instead, `iters` chained steps run in
+# one fori_loop with a single fetch (utils.tracing.device_timer), cached per
+# (shape, mode) — a calibration, like the reference resolving its query set
+# once per pass layout.
+
+
+def _mk_frames(height: int, width: int) -> tuple[jax.Array, jax.Array]:
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.integers(0, 256, (height, width, 4), np.uint8))
+    b = jnp.asarray(rng.integers(0, 256, (height, width, 4), np.uint8))
+    return a, b
+
+
+@functools.lru_cache(maxsize=64)
+def calibrated_step_ms(height: int, width: int, mode: str = "blend", iters: int = 20) -> float:
+    """Device-side ms of one full interpolation step at this shape."""
+    from nu_scaler_tpu.utils.tracing import device_timer
+
+    fn = make_interpolator(height, width, mode)
+    a, b = _mk_frames(height, width)
+    # chain: feed last output back in so no iteration can be hoisted
+    return device_timer(lambda s: (s[1], fn(s[0], s[1], 0.5)), (a, b), iters=iters) * 1000.0
+
+
+@functools.lru_cache(maxsize=64)
+def stage_timings_ms(height: int, width: int, mode: str = "blend", iters: int = 20) -> dict:
+    """Per-stage device-time breakdown — the per-pass timestamp pairs the
+    reference's query set design implied. Keys depend on mode."""
+    from nu_scaler_tpu.utils.tracing import device_timer, fetch_overhead_s
+
+    a, b = _mk_frames(height, width)
+    overhead = fetch_overhead_s()
+    total = calibrated_step_ms(height, width, mode, iters)
+    if mode == "blend":
+        return {"total_ms": total, "blend_ms": total}
+
+    # flow stage: perturb the next input from the flow field so the loop
+    # body stays live (XLA would hoist a loop-invariant computation)
+    def flow_body(s):
+        fa, fb = s
+        flow = compute_flow_fast(fa, fb) if mode == "flow" else compute_flow(fa, fb)
+        pert = (flow[..., :1] * 8.0).astype(jnp.int32).astype(jnp.uint8)
+        return fb, fb + pert
+
+    flow_ms = device_timer(flow_body, (a, b), iters=iters, overhead_s=overhead) * 1000.0
+
+    warp_fn = warp_blend_fast if mode == "flow" else warp_blend
+    flow0 = jnp.zeros((height, width, 2), jnp.float32)
+
+    def warp_body(s):
+        fa, fb, fl = s
+        out = warp_fn(fa, fb, fl, 0.5)
+        return fb, out, fl * 0.5 + out[..., :2].astype(jnp.float32) * 1e-6
+
+    warp_ms = (
+        device_timer(warp_body, (a, b, flow0), iters=iters, overhead_s=overhead) * 1000.0
+    )
+    return {"total_ms": total, "flow_ms": flow_ms, "warp_ms": warp_ms}

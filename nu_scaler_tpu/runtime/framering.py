@@ -87,6 +87,12 @@ class NativeFrameRing:
     def push(self, frame: Tuple[bytes, int, int]) -> None:
         data, w, h = frame
         arr = np.frombuffer(data, dtype=np.uint8)
+        if arr.size != w * h * 4:
+            # the C side copies w*h*4 bytes unconditionally; a short buffer
+            # would be an out-of-bounds read in native code
+            raise ValueError(
+                f"frame buffer is {arr.size} bytes, expected {w * h * 4} for {w}x{h} RGBA"
+            )
         self._lib.nu_ring_push(
             self._ring,
             arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -97,6 +103,10 @@ class NativeFrameRing:
     def push_array(self, arr: np.ndarray) -> None:
         h, w = arr.shape[:2]
         arr = np.ascontiguousarray(arr)
+        if arr.nbytes != w * h * 4:
+            raise ValueError(
+                f"frame array is {arr.nbytes} bytes, expected {w * h * 4} for {w}x{h} RGBA"
+            )
         self._lib.nu_ring_push(
             self._ring, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), w, h
         )
