@@ -391,12 +391,14 @@ class PyFsrUpscaler(PyWgpuUpscaler):
         )
 
     def upscale_batch(self, frames: Iterable[bytes]) -> list[bytes]:
-        # EASU's polyphase body is single-frame (planar internals); dispatch
-        # each frame — calls overlap on-device since nothing blocks between
         self._check_ready()
         arrs = [self._to_array(bytes(f)) for f in frames]
-        outs = [self._fn(a) for a in arrs]
-        return [np.asarray(o).tobytes() for o in outs]
+        try:
+            # the fused Pallas pipeline takes [N, H, W, 4] in one call
+            out = np.asarray(self._fn(np.stack(arrs)))
+            return [out[i].tobytes() for i in range(out.shape[0])]
+        except Exception:  # noqa: BLE001 — XLA polyphase path is single-frame
+            return [np.asarray(self._fn(a)).tobytes() for a in arrs]
 
 
 def create_advanced_upscaler(quality: str) -> PyAdvancedWgpuUpscaler:

@@ -135,6 +135,98 @@ def pallas_resample_available(in_h: int, in_w: int, out_h: int, out_w: int, algo
     return make_pallas_resampler(in_h, in_w, out_h, out_w, algorithm) is not None
 
 
+@functools.lru_cache(maxsize=64)
+def make_pallas_fused_batched(
+    n: int, in_h: int, in_w: int, out_h: int, out_w: int, algorithm: str
+):
+    """Batched fused resampler: u8 [N, H, W, 4] → u8 [N, OH, OW, 4] in ONE
+    pallas_call with a leading batch grid dim (the rayon-batch role,
+    upscale/mod.rs:609-640, as one device program). Returns None when the
+    banded form doesn't tile."""
+    algorithm = _r.normalize_algorithm(algorithm)
+    bv = _r._banded_axis(in_h, out_h, algorithm)
+    bh = _r._banded_axis(in_w, out_w, algorithm)
+    if bv is None or bh is None:
+        return None
+    av, stride_v, halo_v, tc_v, t_v = bv
+    ah, stride_h, halo_h, tc_h, t_h = bh
+
+    def split2(a):
+        hi = a.astype(jnp.bfloat16)
+        lo = (a - np.asarray(hi).astype(np.float32)).astype(jnp.bfloat16)
+        return np.stack([np.asarray(hi), np.asarray(lo)])
+
+    wv = jnp.asarray(split2(av.transpose(0, 2, 1)).transpose(1, 0, 2, 3))
+    eye4 = np.eye(LANES, dtype=np.float32)
+    wh = jnp.asarray(split2(np.kron(ah, eye4[None])).transpose(1, 0, 2, 3))
+
+    interpret = jax.default_backend() == "cpu"
+    shl = stride_h * LANES
+    # batch is the INNERMOST grid dim: the (i, j) weight blocks then stay
+    # resident across the whole batch instead of being re-streamed per frame
+    call = pl.pallas_call(
+        _fused_kernel_batched,
+        out_shape=jax.ShapeDtypeStruct((n, t_v * tc_v, t_h * tc_h * LANES), jnp.uint8),
+        grid=(t_v, t_h, n),
+        in_specs=[
+            pl.BlockSpec((1, 2, tc_v, 2 * stride_v), lambda i, j, b: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, 2 * shl, tc_h * LANES), lambda i, j, b: (j, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, stride_v, shl), lambda i, j, b: (b, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, stride_v, shl), lambda i, j, b: (b, i, j + 1), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, stride_v, shl), lambda i, j, b: (b, i + 1, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, stride_v, shl), lambda i, j, b: (b, i + 1, j + 1), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tc_v, tc_h * LANES), lambda i, j, b: (b, i, j), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )
+
+    total_v = (t_v + 1) * stride_v
+    total_h = (t_h + 1) * stride_h
+
+    def fn(imgs_u8: jax.Array) -> jax.Array:
+        flat = imgs_u8.reshape(n, in_h, in_w * LANES)
+        flat = jnp.pad(
+            flat,
+            (
+                (0, 0),
+                (halo_v, total_v - halo_v - in_h),
+                (halo_h * LANES, (total_h - halo_h - in_w) * LANES),
+            ),
+        )
+        out = call(wv, wh, flat, flat, flat, flat)
+        return out[:, :out_h, : out_w * LANES].reshape(n, out_h, out_w, LANES)
+
+    return fn
+
+
+def _fused_kernel_batched(wv_ref, wh_ref, b00, b01, b10, b11, out_ref):
+    """Batched variant: data blocks carry a leading batch dim of 1."""
+    top = jnp.concatenate([b00[0], b01[0]], axis=1)
+    bot = jnp.concatenate([b10[0], b11[0]], axis=1)
+    slab = jnp.concatenate([top, bot], axis=0)
+    slab16 = slab.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+
+    def split_dot(w2, x, dims):
+        hi = jax.lax.dot_general(w2[0], x, dimension_numbers=dims,
+                                 preferred_element_type=jnp.float32)
+        lo = jax.lax.dot_general(w2[1], x, dimension_numbers=dims,
+                                 preferred_element_type=jnp.float32)
+        return hi + lo
+
+    dims = (((1,), (0,)), ((), ()))
+    mid = split_dot(wv_ref[0], slab16, dims)
+    mid16 = mid.astype(jnp.bfloat16)
+    out = split_dot(
+        jnp.transpose(wh_ref[0], (0, 2, 1)), jnp.transpose(mid16), dims
+    )
+    out = jnp.transpose(out)
+    out_ref[0] = (
+        jnp.trunc(jnp.clip(out, 0.0, 255.0)).astype(jnp.int32).astype(jnp.uint8)
+    )
+
+
 # ---------------------------------------------------------------------------
 # fully-fused single-kernel variant
 # ---------------------------------------------------------------------------

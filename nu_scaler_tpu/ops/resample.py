@@ -353,6 +353,22 @@ def make_resampler(
             def fn(img, _fused=fused, _xla=xla_fn):
                 if img.ndim == 3:
                     return _fused(img)
+                if img.ndim == 4:
+                    # one pallas_call with a leading batch grid dim (shape is
+                    # static under jit, so building/fetching the batched
+                    # kernel at trace time is free)
+                    from nu_scaler_tpu.kernels.resample_pallas import (
+                        make_pallas_fused_batched,
+                    )
+
+                    try:
+                        bfn = make_pallas_fused_batched(
+                            img.shape[0], in_h, in_w, out_h, out_w, algorithm
+                        )
+                    except Exception:  # noqa: BLE001
+                        bfn = None
+                    if bfn is not None:
+                        return bfn(img)
                 return _xla(img)
         else:
             fn = xla_fn

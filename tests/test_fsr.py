@@ -63,3 +63,15 @@ def test_rcas_sharpens_easu_edges(rng):
     easu_only = fsr.easu(img, 64, 64, 0.17)
     sharpened = fsr.rcas(easu_only, 0.25)
     assert blur_width(sharpened) <= blur_width(easu_only)
+
+
+def test_fsr_pallas_matches_xla(rng):
+    """The fused Pallas phase kernel must match the proven XLA polyphase
+    path (same math, same border clamps) at 2x and 3x."""
+    for scale, (h, w) in [(2, (40, 48)), (3, (24, 32))]:
+        img = _rand_img(rng, h, w)
+        fp = fsr.make_fsr_upscaler(h, w, h * scale, w * scale, "quality", impl="pallas")
+        fx = fsr.make_fsr_upscaler(h, w, h * scale, w * scale, "quality", impl="xla")
+        a, b = np.asarray(fp(img)), np.asarray(fx(img))
+        assert a.shape == b.shape == (h * scale, w * scale, 4)
+        assert psnr(a, b) >= 55.0, (scale, psnr(a, b))

@@ -1,5 +1,7 @@
 """Pallas kernels (interpret mode on the CPU mesh; compiled Mosaic on TPU)."""
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -33,3 +35,37 @@ def test_pallas_block_warp_interpret(rng):
     out = np.asarray(W.block_warp_blend(jnp.asarray(a), jnp.asarray(b), jnp.asarray(flow), 0.5))
     golden = W.block_warp_blend_ref(a, b, flow, 0.5)
     assert psnr(out, golden) >= 50.0
+
+
+def test_pallas_fused_batched_matches_single(rng):
+    """Batched fused resampler (one pallas_call, batch grid dim) must match
+    the single-frame kernel per frame."""
+    from nu_scaler_tpu.kernels.resample_pallas import (
+        make_pallas_fused,
+        make_pallas_fused_batched,
+    )
+
+    single = make_pallas_fused(128, 256, 256, 512, "lanczos3")
+    batched = make_pallas_fused_batched(3, 128, 256, 256, 512, "lanczos3")
+    assert single is not None and batched is not None
+    frames = rng.integers(0, 256, (3, 128, 256, 4), np.uint8)
+    out_b = np.asarray(batched(jnp.asarray(frames)))
+    for i in range(3):
+        out_s = np.asarray(single(jnp.asarray(frames[i])))
+        np.testing.assert_array_equal(out_b[i], out_s)
+
+
+def test_fsr_batched_pipeline_matches_single(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from nu_scaler_tpu.ops import fsr
+
+    fn = fsr._fused_phase_pipeline(24, 32, 2, 0.2)
+    assert fn is not None
+    frames = rng.integers(0, 256, (2, 24, 32, 4), np.uint8)
+    out_b = np.asarray(jax.jit(fn)(jnp.asarray(frames)))
+    assert out_b.shape == (2, 48, 64, 4)
+    for i in range(2):
+        out_s = np.asarray(jax.jit(fn)(jnp.asarray(frames[i])))
+        np.testing.assert_array_equal(out_b[i], out_s)
