@@ -57,6 +57,11 @@ class WgpuFrameInterpolator:
         if preset is None:
             preset = (32, 8)  # default Wide32x8 (wgpu_interpolator.rs:180-186)
         self.workgroup_preset = preset
+        # TPU mapping of the workgroup preset: the warp pass's block shape
+        # (rows = preset y, cols = 4·preset x — the default Wide32x8 lands on
+        # the measured-optimal (8, 128) tile). The reference string-replaced
+        # @workgroup_size in the warp WGSL (wgpu_interpolator.rs:98-127).
+        self.warp_tile = (preset[1], 4 * preset[0])
         self.mode = mode
         self._last_key: Optional[tuple] = None
         self._last_wall_ms: Optional[float] = None
@@ -84,8 +89,8 @@ class WgpuFrameInterpolator:
         arr_b = np.frombuffer(b, np.uint8).reshape(height, width, 4)
 
         global _FETCH_OVERHEAD_S
-        fn = _interp.make_interpolator(height, width, self.mode)
-        key = (height, width, self.mode)
+        fn = _interp.make_interpolator(height, width, self.mode, warp_tile=self.warp_tile)
+        key = (height, width, self.mode, self.warp_tile)
         if key not in _WARM:
             # compile once per (shape, mode) process-wide; every later call is
             # a single device dispatch (the round-1 version re-ran the full

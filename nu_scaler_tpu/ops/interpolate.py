@@ -405,6 +405,7 @@ def block_warp_planar(
     offset_field: jax.Array,
     k: int = WARP_K,
     rng: int = WARP_RANGE,
+    tile: tuple = WARP_TILE,
 ) -> jax.Array:
     """Sample planar `img_p` [C, H, W] f32 at p + offset(p), block-quantized.
 
@@ -412,9 +413,13 @@ def block_warp_planar(
     top-K candidate integer offsets + per-candidate dynamic_slice + per-tile
     subpixel lerp. PLANAR layout is load-bearing: a channel-minor [H, W, C]
     f32 array pads C up to the 128-lane tile on TPU (measured ~6× slower).
+
+    `tile` is the block granularity of the warp — the TPU analog of the
+    reference's warp-pass workgroup preset (wgpu_interpolator.rs:98-127):
+    the interpolator's preset string maps onto it (interpolator.py).
     """
     c, h, w = img_p.shape
-    th, tw = min(WARP_TILE[0], h), min(WARP_TILE[1], w)  # small pyramid levels
+    th, tw = min(tile[0], h), min(tile[1], w)  # small pyramid levels
     tiles = _tile_mean(offset_field, th, tw)  # [Ty, Tx, 2]
     tiles = jnp.clip(tiles, -rng, rng)
 
@@ -473,15 +478,16 @@ def block_warp(
 
 
 def warp_blend_fast(
-    frame_a: jax.Array, frame_b: jax.Array, flow: jax.Array, time_t
+    frame_a: jax.Array, frame_b: jax.Array, flow: jax.Array, time_t,
+    tile: tuple = WARP_TILE,
 ) -> jax.Array:
     """Block-motion-compensated mix(a, b, t); gather-free production version
     of warp_blend (u8 in/out). Planar internals, one relayout each way."""
     t = jnp.asarray(time_t, jnp.float32)
     a = frame_a.astype(jnp.float32).transpose(2, 0, 1)
     b = frame_b.astype(jnp.float32).transpose(2, 0, 1)
-    va = block_warp_planar(a, -t * flow)
-    vb = block_warp_planar(b, (1.0 - t) * flow)
+    va = block_warp_planar(a, -t * flow, tile=tile)
+    vb = block_warp_planar(b, (1.0 - t) * flow, tile=tile)
     out = (va + (vb - va) * t) * (1.0 / 255.0)
     out = jnp.clip(jnp.round(out * 255.0), 0, 255).astype(jnp.uint8)
     return out.transpose(1, 2, 0)
@@ -573,11 +579,14 @@ def make_interpolator(
     levels: int = DEFAULT_PYRAMID_LEVELS,
     coarse_iters: int = DEFAULT_COARSE_ITERS,
     refine_iters: int = DEFAULT_REFINE_ITERS,
+    warp_tile: tuple = WARP_TILE,
 ):
     """Compiled ``(frame_a_u8, frame_b_u8, t) -> mid_u8`` for a fixed size.
 
     mode="blend": zero-flow parity with the shipped reference Python path.
     mode="flow":  the full designed pyramid+HS+refine pipeline.
+    warp_tile: warp-pass block shape — the workgroup-preset knob
+    (wgpu_interpolator.rs:98-127); affects only the flow mode's warp.
     """
     if mode == "blend":
 
@@ -589,7 +598,7 @@ def make_interpolator(
 
         def fn(a, b, t):
             flow = compute_flow_fast(a, b, levels, coarse_iters)
-            return warp_blend_fast(a, b, flow, t)
+            return warp_blend_fast(a, b, flow, t, tile=warp_tile)
 
     elif mode == "flow_exact":
         # per-pixel gather warp — golden-parity path (slow on TPU)
@@ -629,25 +638,31 @@ def _mk_frames(height: int, width: int) -> tuple[jax.Array, jax.Array]:
 
 
 @functools.lru_cache(maxsize=64)
-def calibrated_step_ms(height: int, width: int, mode: str = "blend", iters: int = 20) -> float:
+def calibrated_step_ms(
+    height: int, width: int, mode: str = "blend",
+    warp_tile: tuple = WARP_TILE, iters: int = 20,
+) -> float:
     """Device-side ms of one full interpolation step at this shape."""
     from nu_scaler_tpu.utils.tracing import device_timer
 
-    fn = make_interpolator(height, width, mode)
+    fn = make_interpolator(height, width, mode, warp_tile=warp_tile)
     a, b = _mk_frames(height, width)
     # chain: feed last output back in so no iteration can be hoisted
     return device_timer(lambda s: (s[1], fn(s[0], s[1], 0.5)), (a, b), iters=iters) * 1000.0
 
 
 @functools.lru_cache(maxsize=64)
-def stage_timings_ms(height: int, width: int, mode: str = "blend", iters: int = 20) -> dict:
+def stage_timings_ms(
+    height: int, width: int, mode: str = "blend",
+    warp_tile: tuple = WARP_TILE, iters: int = 20,
+) -> dict:
     """Per-stage device-time breakdown — the per-pass timestamp pairs the
     reference's query set design implied. Keys depend on mode."""
     from nu_scaler_tpu.utils.tracing import device_timer, fetch_overhead_s
 
     a, b = _mk_frames(height, width)
     overhead = fetch_overhead_s()
-    total = calibrated_step_ms(height, width, mode, iters)
+    total = calibrated_step_ms(height, width, mode, warp_tile, iters)
     if mode == "blend":
         return {"total_ms": total, "blend_ms": total}
 
@@ -661,7 +676,11 @@ def stage_timings_ms(height: int, width: int, mode: str = "blend", iters: int = 
 
     flow_ms = device_timer(flow_body, (a, b), iters=iters, overhead_s=overhead) * 1000.0
 
-    warp_fn = warp_blend_fast if mode == "flow" else warp_blend
+    if mode == "flow":
+        def warp_fn(fa, fb, fl, t):
+            return warp_blend_fast(fa, fb, fl, t, tile=warp_tile)
+    else:
+        warp_fn = warp_blend
     flow0 = jnp.zeros((height, width, 2), jnp.float32)
 
     def warp_body(s):
