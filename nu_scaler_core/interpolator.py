@@ -182,9 +182,11 @@ def create_interpolator(kind: str = "blend", workgroup_preset: Optional[str] = N
     reference's never-compiled CPU module (interpolation/mod.rs, SURVEY C11).
 
     kind: "blend" (shipped zero-flow cross-fade) | "flow" (block-MC
-    production pipeline) | "flow_exact" (per-pixel warp, golden-parity).
-    Unknown kinds fall back to "blend" (reference-style silent default).
+    production pipeline) | "flow_soft" (block-MC with overlapped-tile
+    blending — seam-free at motion boundaries) | "flow_exact" (per-pixel
+    warp, golden-parity). Unknown kinds fall back to "blend"
+    (reference-style silent default).
     """
-    if kind not in ("blend", "flow", "flow_exact"):
+    if kind not in ("blend", "flow", "flow_soft", "flow_exact"):
         kind = "blend"
     return WgpuFrameInterpolator(workgroup_preset, mode=kind)

@@ -127,8 +127,11 @@ def train(
     log_every: int = 25,
     save: bool = True,
     arch: str = "lite",
+    data: str = "video",
+    crop: int = 96,
 ) -> float:
-    """Returns final loss."""
+    """Returns final loss. data: "video" (clip pairs through the y4m path —
+    the production domain) | "synthetic" (round-1 gradients/blobs)."""
     rng = np.random.default_rng(seed)
     model, params = make_model(arch, stages)
     start = 0
@@ -140,13 +143,23 @@ def train(
     step_fn = el.make_train_step(model, opt)
     opt_state = opt.init(params)
 
+    pool = None
+    if data == "video":
+        from nu_scaler_tpu.models.data import PairPool
+
+        print("rendering clip pool (video path)...", flush=True)
+        pool = PairPool(rng, scale=2**stages, crop=crop)
+
     loss = float("nan")
     t0 = time.time()
     for step in range(steps):
-        lr_b, hr_b = make_batch(rng, batch, scale=2**stages)
+        if pool is not None:
+            lr_b, hr_b = pool.batch(rng, batch)
+        else:
+            lr_b, hr_b = make_batch(rng, batch, scale=2**stages)
         params, opt_state, loss = step_fn(params, opt_state, jnp.asarray(lr_b), jnp.asarray(hr_b))
         if step % log_every == 0:
-            print(f"step {step:5d}  loss {float(loss):.5f}  ({time.time()-t0:.1f}s)")
+            print(f"step {step:5d}  loss {float(loss):.5f}  ({time.time()-t0:.1f}s)", flush=True)
     print(f"final loss {float(loss):.5f}")
     if save:
         # checkpoint number = total training steps, not this run's count
@@ -158,6 +171,22 @@ def train(
     return float(loss)
 
 
+def evaluate(stages: int = 1, arch: str = "tpu") -> dict:
+    """Held-out PSNR/SSIM vs the lanczos3 classical tier (VERDICT r1 #3)."""
+    from nu_scaler_tpu.models.data import eval_vs_lanczos3
+
+    model, params = make_model(arch, stages)
+    restored = load_checkpoint(stages, arch)
+    if restored is not None:
+        params, step = restored
+        print(f"evaluating checkpoint step {step}")
+    fn = jax.jit(lambda x: model.apply(params, x))
+    scores = eval_vs_lanczos3(fn, scale=2**stages)
+    for k, v in scores.items():
+        print(f"  {k}: {v:.4f}")
+    return scores
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--steps", type=int, default=200)
@@ -165,10 +194,18 @@ if __name__ == "__main__":
     p.add_argument("--stages", type=int, default=1)
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--arch", default="lite", choices=["lite", "tpu"])
+    p.add_argument("--data", default="video", choices=["video", "synthetic"])
+    p.add_argument("--crop", type=int, default=96)
+    p.add_argument("--eval", action="store_true", help="evaluate the latest "
+                   "checkpoint vs lanczos3 on held-out clips and exit")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend "
                    "(the site config pins JAX_PLATFORMS=axon; env vars alone "
                    "don't override it)")
     args = p.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    train(args.steps, args.batch, args.stages, args.lr, arch=args.arch)
+    if args.eval:
+        evaluate(args.stages, args.arch)
+    else:
+        train(args.steps, args.batch, args.stages, args.lr, arch=args.arch,
+              data=args.data, crop=args.crop)

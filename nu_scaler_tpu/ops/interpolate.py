@@ -400,12 +400,29 @@ def _tile_to_pixels(tiles: jax.Array, th: int, tw: int, h: int, w: int) -> jax.A
     return out
 
 
+@functools.lru_cache(maxsize=64)
+def _tile_upsample_matrix(n_tiles: int, tile: int, n_px: int) -> np.ndarray:
+    """Dense [n_px, n_tiles] center-aligned bilinear tile→pixel matrix (tiny:
+    tile grids are ~15–135 entries). Rows sum to 1."""
+    m = np.zeros((n_px, n_tiles), np.float32)
+    for p in range(n_px):
+        t = (p + 0.5) / tile - 0.5
+        t0 = int(np.floor(t))
+        f = t - t0
+        a = min(max(t0, 0), n_tiles - 1)
+        b = min(max(t0 + 1, 0), n_tiles - 1)
+        m[p, a] += 1.0 - f
+        m[p, b] += f
+    return m
+
+
 def block_warp_planar(
     img_p: jax.Array,
     offset_field: jax.Array,
     k: int = WARP_K,
     rng: int = WARP_RANGE,
     tile: tuple = WARP_TILE,
+    overlap: bool = False,
 ) -> jax.Array:
     """Sample planar `img_p` [C, H, W] f32 at p + offset(p), block-quantized.
 
@@ -447,16 +464,51 @@ def block_warp_planar(
     pad = rng + 2
     padded = jnp.pad(img_p, ((0, 0), (pad, pad), (pad, pad)), mode="edge")
 
-    # K candidate slabs, ONE select pass, ONE subpixel lerp. (Lerping after
-    # the select reads the +1 neighbor from the winning tile's slab even
-    # across tile boundaries — a 1px approximation where adjacent tiles
-    # chose different candidates, in exchange for K× fewer lerp passes.)
     slabs = [
         jax.lax.dynamic_slice(
             padded, (0, pad + cand_y[i], pad + cand_x[i]), (c, h + 1, w + 1)
         )
         for i in range(k)
     ]
+
+    if overlap:
+        # Overlapped-tile blending: instead of a hard per-tile candidate
+        # select (which leaves visible seams where adjacent tiles chose
+        # different motions), bilinearly upsample the per-tile one-hot
+        # candidate weights AND per-candidate subpixel fractions to pixel
+        # resolution (tiny dense MXU matmuls — tile grids are ~15–135 wide),
+        # lerp each candidate slab, and weight-sum. Pixels near tile centers
+        # keep their tile's motion; boundary pixels cross-fade — the
+        # warp_blend.wgsl:29-43 seamless-sampling role at block cost.
+        ty_n, tx_n = tiles.shape[0], tiles.shape[1]
+        bv = jnp.asarray(_tile_upsample_matrix(ty_n, th, h))  # [H, Ty]
+        bh = jnp.asarray(_tile_upsample_matrix(tx_n, tw, w))  # [W, Tx]
+        one_hot = (assign[..., None] == jnp.arange(k)).astype(jnp.float32)
+        fry_k = jnp.clip(tiles[..., 1:2] - cand_y[None, None, :].astype(jnp.float32), 0.0, 1.0)
+        frx_k = jnp.clip(tiles[..., 0:1] - cand_x[None, None, :].astype(jnp.float32), 0.0, 1.0)
+
+        def up(f):  # [Ty, Tx, K] → [K, H, W]
+            hi = jnp.einsum("hy,yxk->hxk", bv, f, precision=jax.lax.Precision.HIGHEST)
+            return jnp.einsum(
+                "hxk,wx->khw", hi, bh, precision=jax.lax.Precision.HIGHEST
+            )
+
+        wk = up(one_hot)
+        fyk = up(fry_k)
+        fxk = up(frx_k)
+        out = jnp.zeros((c, h, w), img_p.dtype)
+        for i in range(k):
+            s = slabs[i]
+            fx = fxk[i][None]
+            top_r = s[:, :h, :w] + fx * (s[:, :h, 1:] - s[:, :h, :w])
+            bot_r = s[:, 1:, :w] + fx * (s[:, 1:, 1:] - s[:, 1:, :w])
+            out = out + wk[i][None] * (top_r + fyk[i][None] * (bot_r - top_r))
+        return out
+
+    # K candidate slabs, ONE select pass, ONE subpixel lerp. (Lerping after
+    # the select reads the +1 neighbor from the winning tile's slab even
+    # across tile boundaries — a 1px approximation where adjacent tiles
+    # chose different candidates, in exchange for K× fewer lerp passes.)
     assign_pad = jnp.pad(assign_px, ((0, 1), (0, 1)), mode="edge")[None]
     combined = jax.lax.select_n(
         jnp.broadcast_to(assign_pad, (c, h + 1, w + 1)), *slabs
@@ -479,15 +531,15 @@ def block_warp(
 
 def warp_blend_fast(
     frame_a: jax.Array, frame_b: jax.Array, flow: jax.Array, time_t,
-    tile: tuple = WARP_TILE,
+    tile: tuple = WARP_TILE, overlap: bool = False,
 ) -> jax.Array:
     """Block-motion-compensated mix(a, b, t); gather-free production version
     of warp_blend (u8 in/out). Planar internals, one relayout each way."""
     t = jnp.asarray(time_t, jnp.float32)
     a = frame_a.astype(jnp.float32).transpose(2, 0, 1)
     b = frame_b.astype(jnp.float32).transpose(2, 0, 1)
-    va = block_warp_planar(a, -t * flow, tile=tile)
-    vb = block_warp_planar(b, (1.0 - t) * flow, tile=tile)
+    va = block_warp_planar(a, -t * flow, tile=tile, overlap=overlap)
+    vb = block_warp_planar(b, (1.0 - t) * flow, tile=tile, overlap=overlap)
     out = (va + (vb - va) * t) * (1.0 / 255.0)
     out = jnp.clip(jnp.round(out * 255.0), 0, 255).astype(jnp.uint8)
     return out.transpose(1, 2, 0)
@@ -593,12 +645,15 @@ def make_interpolator(
         def fn(a, b, t):
             return blend_only(a, b, t)
 
-    elif mode == "flow":
-        # production: gather-free block-MC pipeline
+    elif mode in ("flow", "flow_soft"):
+        # production: gather-free block-MC pipeline. "flow_soft" adds
+        # overlapped-tile candidate blending in the warp (no block seams at
+        # motion boundaries, ~K extra lerp passes).
+        soft = mode == "flow_soft"
 
         def fn(a, b, t):
             flow = compute_flow_fast(a, b, levels, coarse_iters)
-            return warp_blend_fast(a, b, flow, t, tile=warp_tile)
+            return warp_blend_fast(a, b, flow, t, tile=warp_tile, overlap=soft)
 
     elif mode == "flow_exact":
         # per-pixel gather warp — golden-parity path (slow on TPU)
