@@ -20,7 +20,7 @@ def main(argv=None) -> int:
     p.add_argument("--quality", default="quality")
     p.add_argument("--algorithm", default="lanczos3")
     p.add_argument("--interpolate", action="store_true")
-    p.add_argument("--interp-mode", default="blend", choices=["blend", "flow"])
+    p.add_argument("--interp-mode", default="blend", choices=["blend", "flow", "flow_soft"])
     p.add_argument("--source", default="fullscreen")
     p.add_argument("--out-dir", default=None, help="write output frames as PNGs")
     p.add_argument("--max-saved", type=int, default=30)
