@@ -126,6 +126,40 @@ class ESRGANLite(nn.Module):
         return base + out
 
 
+@functools.lru_cache(maxsize=8)
+def _bilinear_base_kernel(c: int, upscale: int) -> np.ndarray:
+    """Fixed HWIO 3×3 kernel turning the s2d(2) tensor into the PHASE-DOMAIN
+    bilinear upscale of the original image (half-pixel-center alignment).
+
+    Output pixel (r·I+p) at scale `upscale` (r = 2·upscale phases on the
+    half-res trunk grid) samples input coordinate 2I + (p+0.5)/upscale − 0.5,
+    whose two bilinear taps always live in the 3×3 s2d neighborhood. Lets the
+    residual's base be one cheap conv at trunk resolution instead of a
+    channel-minor f32 `jax.image.resize` at 4K (measured 3.7 ms/frame)."""
+    r = 2 * upscale
+    k = np.zeros((3, 3, 4 * c, r * r * c), np.float32)
+    for py in range(r):
+        dy = (py + 0.5) / upscale - 0.5
+        m0 = int(np.floor(dy))
+        fy = dy - m0
+        for px in range(r):
+            dx = (px + 0.5) / upscale - 0.5
+            n0 = int(np.floor(dx))
+            fx = dx - n0
+            for m, wy in ((m0, 1.0 - fy), (m0 + 1, fy)):
+                for nn_, wx in ((n0, 1.0 - fx), (n0 + 1, fx)):
+                    diy, qy = m // 2, m % 2
+                    dix, qx = nn_ // 2, nn_ % 2
+                    for ch in range(c):
+                        k[
+                            diy + 1,
+                            dix + 1,
+                            qy * 2 * c + qx * c + ch,
+                            py * r * c + px * c + ch,
+                        ] += wy * wx
+    return k
+
+
 class ESRGANLiteTPU(nn.Module):
     """TPU-layout variant: space-to-depth(2) front end so the trunk runs at
     half spatial resolution with a lane-friendly channel count, and the tail
@@ -135,29 +169,54 @@ class ESRGANLiteTPU(nn.Module):
     ~86 ms/frame — C=32 underfills the 128-lane dim and every layer drags
     full-resolution activations through HBM. Halving spatial dims and
     doubling channels keeps the same information with ~4× less traffic.
+
+    Round-2 rework: the network lives entirely in the PHASE DOMAIN — the
+    bilinear base is a fixed conv over the s2d tensor added to the tail
+    (`_bilinear_base_kernel`), so serving can quantize to u8 at trunk
+    resolution and do the depth-to-space relayout in u8 (the old path's
+    channel-minor f32 resize + 4K f32 d2s cost ~7 of its 19 ms).
     """
 
     features: int = 64
     blocks: int = 3
     upscale: int = 2  # overall spatial scale factor
+    conv_impl: str = "conv"  # "conv" = XLA convolution | "shift" = 9 matmuls
+
+    def _conv(self, feats: int, name: str):
+        if self.conv_impl == "shift":
+            return ShiftConv(feats, name=name)
+        return nn.Conv(feats, (3, 3), padding="SAME", name=name)
+
+    def _res_block(self, feats: int, name: str):
+        if self.conv_impl == "shift":
+            return ResBlockS(feats, name=name)
+        return ResBlock(feats, name=name)
 
     @nn.compact
-    def __call__(self, x):  # x: [N, H, W, 3] float32/bf16 in [0,1]
+    def __call__(self, x, phase_domain: bool = False):
+        """x: [N, H, W, 3] f32/bf16 in [0,1] → full image [N, uH, uW, 3], or
+        the phase tensor [N, H/2, W/2, r²·3] when phase_domain=True."""
         n, h, w, c = x.shape
         s2d = x.reshape(n, h // 2, 2, w // 2, 2, c)
         s2d = s2d.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
-        feat = ShiftConv(self.features, name="head")(s2d)
+        feat = self._conv(self.features, "head")(s2d)
         hdn = feat
         for i in range(self.blocks):
-            hdn = ResBlockS(self.features, name=f"block{i}")(hdn)
-        hdn = ShiftConv(self.features, name="trunk")(hdn) + feat
+            hdn = self._res_block(self.features, f"block{i}")(hdn)
+        hdn = self._conv(self.features, "trunk")(hdn) + feat
         r = 2 * self.upscale  # phases relative to the half-res trunk grid
-        tail = ShiftConv(r * r * 3, name="tail")(hdn)
+        tail = self._conv(r * r * 3, "tail")(hdn)
+        base_k = jnp.asarray(_bilinear_base_kernel(c, self.upscale), x.dtype)
+        base = jax.lax.conv_general_dilated(
+            s2d, base_k, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        phases = tail + base
+        if phase_domain:
+            return phases
         nh, nw = h // 2, w // 2
-        out = tail.reshape(n, nh, nw, r, r, 3)
-        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(n, nh * r, nw * r, 3)
-        base = jax.image.resize(x, (n, h * self.upscale, w * self.upscale, 3), "bilinear")
-        return base + out
+        out = phases.reshape(n, nh, nw, r, r, 3)
+        return out.transpose(0, 1, 3, 2, 4, 5).reshape(n, nh * r, nw * r, 3)
 
 
 def scale_to_stages(in_h: int, out_h: int) -> int:
@@ -297,14 +356,44 @@ def make_pretrained_upscaler(
         params = get_params(stages)
     params = jax.tree_util.tree_map(lambda p: p.astype(dtype), params)
 
-    def fn(img_u8):
-        f = img_u8.astype(jnp.float32) * (1.0 / 255.0)
-        rgb = f[None, ..., :3].astype(dtype)
-        out = model.apply(params, rgb)[0].astype(jnp.float32)
-        if out.shape[:2] != (out_h, out_w):
-            out = jax.image.resize(out, (out_h, out_w, 3), method="bilinear")
-        alpha = jax.image.resize(f[..., 3:], (out_h, out_w, 1), method="bilinear")
-        full = jnp.concatenate([out, alpha], axis=-1)
-        return jnp.clip(jnp.round(full * 255.0), 0, 255).astype(jnp.uint8)
+    u = 2**stages
+    exact = isinstance(model, ESRGANLiteTPU) and (out_h, out_w) == (in_h * u, in_w * u)
+
+    if exact:
+        r = 2 * u
+
+        def fn(img_u8):
+            # everything at 4K stays u8: quantize in the phase domain at
+            # trunk resolution, depth-to-space in u8, alpha = nearest
+            # broadcast (no channel-minor f32 resize anywhere)
+            rgb = img_u8[None, ..., :3].astype(dtype) * jnp.asarray(1.0 / 255.0, dtype)
+            ph = model.apply(params, rgb, phase_domain=True)[0]
+            ph_u8 = (
+                jnp.clip(jnp.round(ph.astype(jnp.float32) * 255.0), 0, 255)
+                .astype(jnp.uint8)
+            )
+            nh, nw = in_h // 2, in_w // 2
+            out_rgb = (
+                ph_u8.reshape(nh, nw, r, r, 3)
+                .transpose(0, 2, 1, 3, 4)
+                .reshape(out_h, out_w, 3)
+            )
+            alpha = img_u8[..., 3:]
+            a_up = jnp.broadcast_to(
+                alpha[:, None, :, None, :], (in_h, u, in_w, u, 1)
+            ).reshape(out_h, out_w, 1)
+            return jnp.concatenate([out_rgb, a_up], axis=-1)
+
+    else:
+
+        def fn(img_u8):
+            f = img_u8.astype(jnp.float32) * (1.0 / 255.0)
+            rgb = f[None, ..., :3].astype(dtype)
+            out = model.apply(params, rgb)[0].astype(jnp.float32)
+            if out.shape[:2] != (out_h, out_w):
+                out = jax.image.resize(out, (out_h, out_w, 3), method="bilinear")
+            alpha = jax.image.resize(f[..., 3:], (out_h, out_w, 1), method="bilinear")
+            full = jnp.concatenate([out, alpha], axis=-1)
+            return jnp.clip(jnp.round(full * 255.0), 0, 255).astype(jnp.uint8)
 
     return jax.jit(fn)
