@@ -127,17 +127,20 @@ class ESRGANLite(nn.Module):
 
 
 @functools.lru_cache(maxsize=8)
-def _bilinear_base_kernel(c: int, upscale: int) -> np.ndarray:
-    """Fixed HWIO 3×3 kernel turning the s2d(2) tensor into the PHASE-DOMAIN
-    bilinear upscale of the original image (half-pixel-center alignment).
+def _bilinear_base_kernel(c: int, upscale: int, stride: int = 2) -> np.ndarray:
+    """Fixed HWIO 3×3 kernel turning the s2d(`stride`) tensor into the
+    PHASE-DOMAIN bilinear upscale of the original image (half-pixel-center
+    alignment).
 
-    Output pixel (r·I+p) at scale `upscale` (r = 2·upscale phases on the
-    half-res trunk grid) samples input coordinate 2I + (p+0.5)/upscale − 0.5,
-    whose two bilinear taps always live in the 3×3 s2d neighborhood. Lets the
-    residual's base be one cheap conv at trunk resolution instead of a
-    channel-minor f32 `jax.image.resize` at 4K (measured 3.7 ms/frame)."""
-    r = 2 * upscale
-    k = np.zeros((3, 3, 4 * c, r * r * c), np.float32)
+    Output pixel (r·I+p) at scale `upscale` (r = stride·upscale phases on
+    the 1/stride-res trunk grid) samples input coordinate
+    stride·I + (p+0.5)/upscale − 0.5, whose two bilinear taps always live in
+    the 3×3 s2d neighborhood. Lets the residual's base be one cheap conv at
+    trunk resolution instead of a channel-minor f32 `jax.image.resize` at 4K
+    (measured 3.7 ms/frame)."""
+    s = stride
+    r = s * upscale
+    k = np.zeros((3, 3, s * s * c, r * r * c), np.float32)
     for py in range(r):
         dy = (py + 0.5) / upscale - 0.5
         m0 = int(np.floor(dy))
@@ -148,13 +151,13 @@ def _bilinear_base_kernel(c: int, upscale: int) -> np.ndarray:
             fx = dx - n0
             for m, wy in ((m0, 1.0 - fy), (m0 + 1, fy)):
                 for nn_, wx in ((n0, 1.0 - fx), (n0 + 1, fx)):
-                    diy, qy = m // 2, m % 2
-                    dix, qx = nn_ // 2, nn_ % 2
+                    diy, qy = m // s, m % s
+                    dix, qx = nn_ // s, nn_ % s
                     for ch in range(c):
                         k[
                             diy + 1,
                             dix + 1,
-                            qy * 2 * c + qx * c + ch,
+                            qy * s * c + qx * c + ch,
                             py * r * c + px * c + ch,
                         ] += wy * wx
     return k
@@ -181,6 +184,10 @@ class ESRGANLiteTPU(nn.Module):
     blocks: int = 3
     upscale: int = 2  # overall spatial scale factor
     conv_impl: str = "conv"  # "conv" = XLA convolution | "shift" = 9 matmuls
+    stride: int = 2  # space-to-depth factor: trunk runs at 1/stride res.
+    # Measured conv efficiency on v5e (same FLOPs): 540p/C=64 = 5.2% of
+    # peak, 270p/C=128 = 28.9%, 135p/C=256 = 56.1% — deeper s2d with wider
+    # channels is the lever (tools/conv_sweep.py).
 
     def _conv(self, feats: int, name: str):
         if self.conv_impl == "shift":
@@ -197,24 +204,29 @@ class ESRGANLiteTPU(nn.Module):
         """x: [N, H, W, 3] f32/bf16 in [0,1] → full image [N, uH, uW, 3], or
         the phase tensor [N, H/2, W/2, r²·3] when phase_domain=True."""
         n, h, w, c = x.shape
-        s2d = x.reshape(n, h // 2, 2, w // 2, 2, c)
-        s2d = s2d.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+        st = self.stride
+        s2d = x.reshape(n, h // st, st, w // st, st, c)
+        s2d = s2d.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // st, w // st, st * st * c)
         feat = self._conv(self.features, "head")(s2d)
         hdn = feat
         for i in range(self.blocks):
             hdn = self._res_block(self.features, f"block{i}")(hdn)
         hdn = self._conv(self.features, "trunk")(hdn) + feat
-        r = 2 * self.upscale  # phases relative to the half-res trunk grid
+        r = st * self.upscale  # phases relative to the trunk grid
         tail = self._conv(r * r * 3, "tail")(hdn)
-        base_k = jnp.asarray(_bilinear_base_kernel(c, self.upscale), x.dtype)
+        base_k = jnp.asarray(_bilinear_base_kernel(c, self.upscale, st), x.dtype)
+        # edge-replicate the s2d neighborhood for the FIXED base (zero-pad
+        # would leave a dark bilinear ring at image borders; the learned
+        # convs keep zero-pad SAME, which training absorbs)
+        s2d_pad = jnp.pad(s2d, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
         base = jax.lax.conv_general_dilated(
-            s2d, base_k, (1, 1), "SAME",
+            s2d_pad, base_k, (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         phases = tail + base
         if phase_domain:
             return phases
-        nh, nw = h // 2, w // 2
+        nh, nw = h // st, w // st
         out = phases.reshape(n, nh, nw, r, r, 3)
         return out.transpose(0, 1, 3, 2, 4, 5).reshape(n, nh * r, nw * r, 3)
 
@@ -340,15 +352,18 @@ def make_pretrained_upscaler(
     reduced mantissa costs <0.5 dB.
     """
     stages = scale_to_stages(in_h, out_h)
-    # prefer the TPU-layout variant when its checkpoint exists
+    # prefer the TPU-layout variants when their checkpoints exist
+    # (tpu4 = 1/4-res 128ch trunk, the fast one; then tpu = 1/2-res 64ch)
     model = None
     try:
         from nu_scaler_tpu.models.train import load_checkpoint
 
-        restored = load_checkpoint(stages, "tpu")
-        if restored is not None:
-            model = ESRGANLiteTPU(upscale=2**stages)
-            params = restored[0]
+        for arch, kw in (("tpu4", dict(stride=4, features=128)), ("tpu", {})):
+            restored = load_checkpoint(stages, arch)
+            if restored is not None:
+                model = ESRGANLiteTPU(upscale=2**stages, **kw)
+                params = restored[0]
+                break
     except Exception:  # noqa: BLE001
         pass
     if model is None:
@@ -360,29 +375,52 @@ def make_pretrained_upscaler(
     exact = isinstance(model, ESRGANLiteTPU) and (out_h, out_w) == (in_h * u, in_w * u)
 
     if exact:
-        r = 2 * u
+        st = model.stride
+        r = st * u
+        nh, nw = in_h // st, in_w // st
+        # alpha → phase map: output phase p reads the NEAREST s2d alpha
+        # channel round((p+0.5)/u − 0.5) — all inside the same trunk cell
+        m_alpha = np.zeros((st * st, r * r), np.float32)
+        for py in range(r):
+            my = int(round((py + 0.5) / u - 0.5))
+            for px in range(r):
+                mx = int(round((px + 0.5) / u - 0.5))
+                m_alpha[my * st + mx, py * r + px] = 1.0
+        m_alpha_b = jnp.asarray(m_alpha, jnp.bfloat16)
 
         def fn(img_u8):
-            # everything at 4K stays u8: quantize in the phase domain at
-            # trunk resolution, depth-to-space in u8, alpha = nearest
-            # broadcast (no channel-minor f32 resize anywhere)
+            # the whole 4K product is ONE u8 d2s: RGB phases from the net +
+            # alpha phases from a 0/1 channel matmul merge into an RGBA
+            # phase tensor (r²·4 = lane-aligned 256 channels for r=8), so
+            # there is no 4K channel-minor concat (measured ~30 ms) and no
+            # f32 resize anywhere
             rgb = img_u8[None, ..., :3].astype(dtype) * jnp.asarray(1.0 / 255.0, dtype)
             ph = model.apply(params, rgb, phase_domain=True)[0]
             ph_u8 = (
                 jnp.clip(jnp.round(ph.astype(jnp.float32) * 255.0), 0, 255)
                 .astype(jnp.uint8)
             )
-            nh, nw = in_h // 2, in_w // 2
-            out_rgb = (
-                ph_u8.reshape(nh, nw, r, r, 3)
-                .transpose(0, 2, 1, 3, 4)
-                .reshape(out_h, out_w, 3)
+            a_s2d = (
+                img_u8[..., 3]
+                .reshape(nh, st, nw, st)
+                .transpose(0, 2, 1, 3)
+                .reshape(nh, nw, st * st)
             )
-            alpha = img_u8[..., 3:]
-            a_up = jnp.broadcast_to(
-                alpha[:, None, :, None, :], (in_h, u, in_w, u, 1)
-            ).reshape(out_h, out_w, 1)
-            return jnp.concatenate([out_rgb, a_up], axis=-1)
+            a_ph = (
+                jnp.einsum("hwi,io->hwo", a_s2d.astype(jnp.bfloat16), m_alpha_b)
+                .astype(jnp.uint8)
+            )
+            combined = jnp.concatenate(
+                [ph_u8.reshape(nh, nw, r * r, 3), a_ph[..., None]], axis=-1
+            ).reshape(nh, nw, r * r * 4)
+            # d2s: per row-phase lane slice → FREE column reshape → row
+            # stack. Measured 0.54 ms vs 2.5-4 ms for transpose forms
+            # (tools/d2s_sweep.py).
+            rows = [
+                combined[..., p * r * 4 : (p + 1) * r * 4].reshape(nh, out_w, 4)
+                for p in range(r)
+            ]
+            return jnp.stack(rows, axis=1).reshape(out_h, out_w, 4)
 
     else:
 

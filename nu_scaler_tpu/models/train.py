@@ -32,6 +32,8 @@ CKPT_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path
 def ckpt_dir(stages: int, arch: str = "lite") -> str:
     if arch == "tpu":
         return os.path.join(CKPT_ROOT, f"esrgan_tpu_x{2**stages}")
+    if arch == "tpu4":
+        return os.path.join(CKPT_ROOT, f"esrgan_tpu4_x{2**stages}")
     return os.path.join(CKPT_ROOT, f"esrgan_lite_s{stages}")
 
 
@@ -115,6 +117,14 @@ def make_model(arch: str, stages: int):
             jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32)
         )
         return model, params
+    if arch == "tpu4":
+        # trunk at 1/4 res with 128 channels: 28.9% of MXU peak per conv vs
+        # 5.2% at 1/2-res/64ch (tools/conv_sweep.py)
+        model = el.ESRGANLiteTPU(upscale=2**stages, stride=4, features=128)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32)
+        )
+        return model, params
     return el.init_params(0, stages)
 
 
@@ -193,7 +203,7 @@ if __name__ == "__main__":
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--stages", type=int, default=1)
     p.add_argument("--lr", type=float, default=2e-4)
-    p.add_argument("--arch", default="lite", choices=["lite", "tpu"])
+    p.add_argument("--arch", default="lite", choices=["lite", "tpu", "tpu4"])
     p.add_argument("--data", default="video", choices=["video", "synthetic"])
     p.add_argument("--crop", type=int, default=96)
     p.add_argument("--eval", action="store_true", help="evaluate the latest "

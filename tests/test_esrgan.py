@@ -84,3 +84,42 @@ def test_scale_to_stages():
     assert el.scale_to_stages(540, 1080) == 1
     assert el.scale_to_stages(540, 2160) == 2
     assert el.scale_to_stages(1080, 2160) == 1
+
+
+def test_phase_base_matches_bilinear_resize():
+    """With the tail zeroed, the phase-domain fixed base conv must reproduce
+    jax.image.resize bilinear (half-pixel centers) exactly in the interior
+    (borders differ: conv zero-pad vs resize edge clamp)."""
+    import jax
+
+    for stride in (2, 4):
+        m = el.ESRGANLiteTPU(upscale=2, stride=stride, features=8, blocks=1)
+        rng = np.random.default_rng(stride)
+        x = jnp.asarray(rng.random((1, 32, 48, 3), np.float32))
+        params = m.init(jax.random.PRNGKey(0), x)
+        params = jax.tree_util.tree_map(lambda p: p, params)  # copy
+        import flax
+
+        pd = flax.core.unfreeze(params) if hasattr(params, "unfreeze") else dict(params)
+        pd["params"]["tail"]["kernel"] = jnp.zeros_like(pd["params"]["tail"]["kernel"])
+        pd["params"]["tail"]["bias"] = jnp.zeros_like(pd["params"]["tail"]["bias"])
+        out = np.asarray(m.apply(pd, x))[0]
+        ref = np.asarray(jax.image.resize(x, (1, 64, 96, 3), "bilinear"))[0]
+        mrg = 2 * stride
+        diff = np.abs(out[mrg:-mrg, mrg:-mrg] - ref[mrg:-mrg, mrg:-mrg]).max()
+        assert diff < 1e-5, (stride, diff)
+
+
+def test_tpu_phase_domain_consistent():
+    """phase_domain=True output, depth-to-spaced, equals __call__'s image."""
+    import jax
+
+    m = el.ESRGANLiteTPU(upscale=2, stride=4, features=16, blocks=1)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((1, 32, 32, 3), np.float32))
+    params = m.init(jax.random.PRNGKey(0), x)
+    full = np.asarray(m.apply(params, x))
+    ph = np.asarray(m.apply(params, x, phase_domain=True))
+    r = 8
+    d2s = ph.reshape(1, 8, 8, r, r, 3).transpose(0, 1, 3, 2, 4, 5).reshape(1, 64, 64, 3)
+    np.testing.assert_allclose(full, d2s, rtol=1e-6, atol=1e-6)

@@ -33,7 +33,9 @@ def main():
     print(f"esrgan 1080p->4K: {spf*1000:.3f} ms  {1.0/spf:.1f} fps", flush=True)
 
     print("eval vs lanczos3 (held-out clips):", flush=True)
-    T.evaluate(stages=1, arch="tpu")
+    import os
+    arch = "tpu4" if os.path.exists(T.ckpt_dir(1, "tpu4")) else "tpu"
+    T.evaluate(stages=1, arch=arch)
 
 
 if __name__ == "__main__":
