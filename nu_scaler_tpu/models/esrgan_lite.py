@@ -253,13 +253,34 @@ def l1_loss(model: ESRGANLite, params, lr_batch, hr_batch):
     return jnp.mean(jnp.abs(pred - hr_batch))
 
 
-def make_train_step(model: ESRGANLite, optimizer):
+def l1_grad_loss(model, params, lr_batch, hr_batch, w: float = 0.5):
+    """L1 + gradient-difference term — pushes local structure (SSIM) without
+    a perceptual net."""
+    pred = model.apply(params, lr_batch)
+    l1 = jnp.mean(jnp.abs(pred - hr_batch))
+    gy = jnp.mean(
+        jnp.abs(
+            (pred[:, 1:] - pred[:, :-1]) - (hr_batch[:, 1:] - hr_batch[:, :-1])
+        )
+    )
+    gx = jnp.mean(
+        jnp.abs(
+            (pred[:, :, 1:] - pred[:, :, :-1])
+            - (hr_batch[:, :, 1:] - hr_batch[:, :, :-1])
+        )
+    )
+    return l1 + w * (gy + gx)
+
+
+def make_train_step(model: ESRGANLite, optimizer, loss: str = "l1"):
+    loss_fn = l1_grad_loss if loss == "l1_grad" else l1_loss
+
     @jax.jit
     def train_step(params, opt_state, lr_batch, hr_batch):
-        loss, grads = jax.value_and_grad(lambda p: l1_loss(model, p, lr_batch, hr_batch))(params)
+        lv, grads = jax.value_and_grad(lambda p: loss_fn(model, p, lr_batch, hr_batch))(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        return params, opt_state, lv
 
     return train_step
 
@@ -359,6 +380,9 @@ def make_pretrained_upscaler(
         from nu_scaler_tpu.models.train import load_checkpoint
 
         for arch, kw in (("tpu4", dict(stride=4, features=128)), ("tpu", {})):
+            st_req = kw.get("stride", 2)
+            if in_h % st_req or in_w % st_req:
+                continue  # s2d front end needs stride-divisible dims
             restored = load_checkpoint(stages, arch)
             if restored is not None:
                 model = ESRGANLiteTPU(upscale=2**stages, **kw)

@@ -63,6 +63,30 @@ def load_checkpoint(stages: int, arch: str = "lite"):
     return params, step
 
 
+def save_opt_state(opt_state, stages: int, step: int, arch: str = "lite") -> None:
+    """Optimizer moments alongside the params (resume keeps Adam state)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(ckpt_dir(stages, arch))
+    ocp.PyTreeCheckpointer().save(
+        os.path.join(path, f"{step}_opt"), jax.device_get(opt_state), force=True
+    )
+
+
+def load_opt_state(opt_template, stages: int, step: int, arch: str = "lite"):
+    """Restore optimizer state into the given template structure; None when
+    absent or incompatible (e.g. the checkpoint predates opt-state saving)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.join(os.path.abspath(ckpt_dir(stages, arch)), f"{step}_opt")
+    if not os.path.exists(path):
+        return None
+    try:
+        return ocp.PyTreeCheckpointer().restore(path, item=opt_template)
+    except Exception:  # noqa: BLE001 — structure drift: re-init instead
+        return None
+
+
 def load_or_init(stages: int):
     """Checkpoint-or-init; also primes the in-memory serving cache."""
     restored = load_checkpoint(stages)
@@ -139,6 +163,7 @@ def train(
     arch: str = "lite",
     data: str = "video",
     crop: int = 96,
+    loss_kind: str = "l1",
 ) -> float:
     """Returns final loss. data: "video" (clip pairs through the y4m path —
     the production domain) | "synthetic" (round-1 gradients/blobs)."""
@@ -150,8 +175,13 @@ def train(
         params, start = restored
         print(f"resumed from step {start}")
     opt = optax.adam(lr)
-    step_fn = el.make_train_step(model, opt)
+    step_fn = el.make_train_step(model, opt, loss_kind)
     opt_state = opt.init(params)
+    if restored is not None:
+        prev = load_opt_state(opt_state, stages, start, arch)
+        if prev is not None:
+            opt_state = prev
+            print("restored optimizer state")
 
     pool = None
     if data == "video":
@@ -175,6 +205,7 @@ def train(
         # checkpoint number = total training steps, not this run's count
         # (resume from N + M steps saves as N+M, so latest never regresses)
         path = save_checkpoint(jax.device_get(params), stages, start + steps, arch)
+        save_opt_state(opt_state, stages, start + steps, arch)
         print(f"checkpoint: {path}")
     if arch == "lite":
         el.set_params(stages, params)
@@ -206,6 +237,7 @@ if __name__ == "__main__":
     p.add_argument("--arch", default="lite", choices=["lite", "tpu", "tpu4"])
     p.add_argument("--data", default="video", choices=["video", "synthetic"])
     p.add_argument("--crop", type=int, default=96)
+    p.add_argument("--loss", default="l1", choices=["l1", "l1_grad"])
     p.add_argument("--eval", action="store_true", help="evaluate the latest "
                    "checkpoint vs lanczos3 on held-out clips and exit")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend "
@@ -218,4 +250,4 @@ if __name__ == "__main__":
         evaluate(args.stages, args.arch)
     else:
         train(args.steps, args.batch, args.stages, args.lr, arch=args.arch,
-              data=args.data, crop=args.crop)
+              data=args.data, crop=args.crop, loss_kind=args.loss)
