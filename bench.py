@@ -294,6 +294,37 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         log(f"fsr bench failed: {e}")
 
+    # learned tier: serving fps + held-out quality vs lanczos3 (VERDICT r1 #3)
+    try:
+        from nu_scaler_tpu.models import esrgan_lite as el
+
+        efn = el.make_pretrained_upscaler(IN_H, IN_W, OUT_H, OUT_W)
+
+        def ebody(state):
+            out = efn(state)
+            return out[:IN_H, :IN_W, :]
+
+        spf = timed_loop(ebody, jax.device_put(make_input()), max(iters // 4, 3), overhead)
+        extras["esrgan_fps"] = round(1.0 / spf, 1)
+        log(f"upscale[esrgan   ] 1080p→4K {extras['esrgan_fps']:9.1f} fps (learned tier)")
+    except Exception as e:  # noqa: BLE001
+        log(f"esrgan bench failed: {e}")
+    try:
+        from nu_scaler_tpu.models.data import eval_vs_lanczos3
+
+        model_fn = jax.jit(lambda x: el.ESRGANLiteTPU(upscale=2, stride=4, features=128).apply(
+            __import__("nu_scaler_tpu.models.train", fromlist=["load_checkpoint"]).load_checkpoint(1, "tpu4")[0], x))
+        q = eval_vs_lanczos3(model_fn, scale=2, seeds=(900, 901))
+        extras["esrgan_psnr_delta_db_vs_lanczos3"] = round(q["psnr_delta_db"], 2)
+        extras["esrgan_ssim_delta_vs_lanczos3"] = round(q["ssim_delta"], 4)
+        log(
+            f"esrgan held-out quality: {q['net_psnr_db']:.2f} dB vs lanczos3 "
+            f"{q['lanczos3_psnr_db']:.2f} dB (Δ {q['psnr_delta_db']:+.2f} dB, "
+            f"ΔSSIM {q['ssim_delta']:+.4f})"
+        )
+    except Exception as e:  # noqa: BLE001
+        log(f"esrgan quality eval skipped: {e}")
+
     value = round(res_blend["fps"], 1)
     print(
         json.dumps(

@@ -121,6 +121,37 @@ class DeviceDetector:
             return "fallback"
         return "wgpu"
 
+    def detect_technologies(self) -> dict:
+        """Availability map per technology string — the role of the legacy
+        library-detection mocks (`Nu_scale/src/upscale/dlss.rs:14-398`,
+        `xess.rs:31-352`, `vulkan.rs`: probe for vendor SDKs/DLLs and report
+        a mock context). Here:
+          wgpu     — the Pallas/XLA resample path; any device
+          fsr      — EASU+RCAS pipeline; any device
+          dlss     — the learned tier; available iff a trained checkpoint
+                     exists (the SDK-presence probe's analog)
+          xess     — Intel SDK: never present on this platform
+          vulkan   — no Vulkan on TPU hosts
+          fallback — always
+        """
+        learned = False
+        try:
+            from nu_scaler_tpu.models.train import load_checkpoint
+
+            learned = any(
+                load_checkpoint(1, arch) is not None for arch in ("tpu4", "tpu", "lite")
+            )
+        except Exception:  # noqa: BLE001
+            pass
+        return {
+            "wgpu": True,
+            "fsr": True,
+            "dlss": learned,
+            "xess": False,
+            "vulkan": False,
+            "fallback": True,
+        }
+
 
 @functools.lru_cache(maxsize=1)
 def detect() -> DeviceDetector:

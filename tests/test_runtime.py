@@ -70,3 +70,16 @@ def test_vram_stats_facade():
     assert s.usage_percent == 25.0
     z = nsc.PyVramStats(0.0, 0.0, 0.0, 0.0)
     assert z.usage_percent == 0.0
+
+
+def test_detect_technologies():
+    """The legacy library-detection mocks' role (dlss.rs/xess.rs/vulkan.rs):
+    availability map keyed by technology string."""
+    from nu_scaler_tpu.runtime.detector import DeviceDetector
+
+    d = DeviceDetector()
+    d.detect_gpus()
+    techs = d.detect_technologies()
+    assert techs["wgpu"] and techs["fsr"] and techs["fallback"]
+    assert techs["xess"] is False and techs["vulkan"] is False
+    assert isinstance(techs["dlss"], bool)  # true iff a checkpoint exists
