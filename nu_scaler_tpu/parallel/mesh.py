@@ -123,3 +123,21 @@ def upscale_frame_spatial(
         mesh, frame.shape[0], frame.shape[1], out_h, out_w, algorithm
     )
     return fn(jnp.asarray(frame))
+
+
+def esrgan_infer_spatial(model, params, x, mesh: Mesh | None = None, axis: str = "batch"):
+    """Learned-tier inference with the FRAME sharded spatially (sp): input
+    rows split over the mesh; XLA inserts the conv halo exchanges over ICI
+    automatically from the sharding annotations (the jax.sharding/pjit way —
+    no manual ppermute needed for 3×3 receptive fields).
+
+    x: [N, H, W, 3]; H must divide by mesh_size × model.stride."""
+    if mesh is None:
+        mesh = make_mesh(axis=axis)
+    x_shard = NamedSharding(mesh, P(None, axis, None, None))
+    fn = jax.jit(
+        lambda p, xx: model.apply(p, xx),
+        in_shardings=(None, x_shard),
+        out_shardings=x_shard,
+    )
+    return fn(params, jax.device_put(x, x_shard))

@@ -47,3 +47,22 @@ def test_spatial_rejects_indivisible(rng):
     frame = rng.integers(0, 256, (24, 32, 4), np.uint8)
     with pytest.raises(ValueError, match="not divisible"):
         pmesh.shard_spatial_resampler(m, 24, 32, 50, 64, "lanczos3")
+
+
+def test_esrgan_infer_spatial_matches_single_device():
+    """sp inference: frame rows sharded over the mesh; XLA inserts the conv
+    halo exchanges. Output must match unsharded inference."""
+    import jax
+    import jax.numpy as jnp
+
+    from nu_scaler_tpu.models import esrgan_lite as el
+    from nu_scaler_tpu.parallel import mesh as pmesh
+
+    m = el.ESRGANLiteTPU(upscale=2, stride=2, features=8, blocks=1)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((1, 64, 32, 3), dtype=np.float32))
+    p = m.init(jax.random.PRNGKey(0), x)
+    mesh = pmesh.make_mesh(8)
+    out_sp = np.asarray(pmesh.esrgan_infer_spatial(m, p, x, mesh))
+    out_ref = np.asarray(m.apply(p, x))
+    np.testing.assert_allclose(out_sp, out_ref, rtol=2e-5, atol=2e-5)
