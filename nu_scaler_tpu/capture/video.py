@@ -134,3 +134,103 @@ class VideoSource:
 
     def close(self) -> None:
         self._reader.close()
+
+
+# ---------------------------------------------------------------------------
+# Native demuxer (C++ — the data-loader role of the reference's native
+# capture plumbing; nu_scaler_tpu/runtime/native/y4m.cpp)
+# ---------------------------------------------------------------------------
+
+_Y4M_LIB = None
+_Y4M_ERR: Optional[str] = None
+
+
+def _load_y4m_lib():
+    global _Y4M_LIB, _Y4M_ERR
+    if _Y4M_LIB is not None or _Y4M_ERR is not None:
+        return _Y4M_LIB
+    import ctypes
+
+    try:
+        from nu_scaler_tpu.runtime.native.build import build_y4m
+
+        lib = ctypes.CDLL(build_y4m())
+        lib.nu_y4m_open.restype = ctypes.c_void_p
+        lib.nu_y4m_open.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.nu_y4m_next.restype = ctypes.c_int
+        lib.nu_y4m_next.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8)]
+        lib.nu_y4m_rewind.argtypes = [ctypes.c_void_p]
+        lib.nu_y4m_close.argtypes = [ctypes.c_void_p]
+        _Y4M_LIB = lib
+    except Exception as e:  # noqa: BLE001 — no compiler: Python fallback
+        _Y4M_ERR = str(e)
+    return _Y4M_LIB
+
+
+def native_y4m_available() -> bool:
+    return _load_y4m_lib() is not None
+
+
+class NativeY4MReader:
+    """C++ demuxer with the same iterator contract as Y4MReader (YUV420 →
+    RGBA conversion in native code, matched to _yuv420_to_rgba)."""
+
+    def __init__(self, path: str):
+        import ctypes
+
+        lib = _load_y4m_lib()
+        if lib is None:
+            raise RuntimeError(f"native y4m demuxer unavailable: {_Y4M_ERR}")
+        self._lib = lib
+        w = ctypes.c_uint32()
+        h = ctypes.c_uint32()
+        fps = ctypes.c_double()
+        self._ctx = lib.nu_y4m_open(path.encode(), w, h, fps)
+        if not self._ctx:
+            raise ValueError(f"not a supported Y4M file: {path}")
+        self.width, self.height, self.fps = w.value, h.value, fps.value
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> np.ndarray:
+        import ctypes
+
+        out = np.empty((self.height, self.width, 4), np.uint8)
+        rc = self._lib.nu_y4m_next(
+            self._ctx, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        )
+        if rc == 0:
+            raise StopIteration
+        if rc < 0:
+            raise ValueError("corrupt Y4M stream")
+        return out
+
+    def rewind(self) -> None:
+        self._lib.nu_y4m_rewind(self._ctx)
+
+    def close(self) -> None:
+        if self._ctx:
+            self._lib.nu_y4m_close(self._ctx)
+            self._ctx = None
+
+    def __del__(self):  # noqa: D105
+        try:
+            self.close()
+        except Exception:  # noqa: BLE001
+            pass
+
+
+def open_reader(path: str, native: str = "auto"):
+    """Y4M reader factory: the native demuxer when built ("auto"), forced
+    ("native"), or the pure-Python one ("python")."""
+    if native == "python":
+        return Y4MReader(path)
+    if native == "native" or native_y4m_available():
+        return NativeY4MReader(path)
+    return Y4MReader(path)

@@ -55,3 +55,38 @@ def test_python_fallback_swizzle(rng, monkeypatch):
     bgra = rng.integers(0, 256, (4, 4, 4), np.uint8)
     rgba = fr.bgra_to_rgba(bgra)
     np.testing.assert_array_equal(rgba, bgra[..., [2, 1, 0, 3]])
+
+
+def test_native_y4m_matches_python_reader(tmp_path):
+    """The C++ demuxer must agree with the pure-Python reader (≤1 LSB from
+    float-precision ordering in the YUV→RGB math)."""
+    import pytest
+
+    from nu_scaler_tpu.capture import video as V
+
+    if not V.native_y4m_available():
+        pytest.skip("no compiler for the native demuxer")
+    rng = np.random.default_rng(5)
+    frames = [rng.integers(0, 256, (48, 64, 4), np.uint8) for _ in range(3)]
+    path = str(tmp_path / "clip.y4m")
+    w = V.Y4MWriter(path, 64, 48, fps=24.0)
+    for f in frames:
+        w.write(f)
+    w.close()
+
+    nat = V.NativeY4MReader(path)
+    assert (nat.width, nat.height) == (64, 48)
+    assert abs(nat.fps - 24.0) < 1e-6
+    py = list(V.Y4MReader(path))
+    got = list(nat)
+    assert len(got) == len(py) == 3
+    for a, b in zip(got, py):
+        diff = np.abs(a.astype(np.int16) - b.astype(np.int16)).max()
+        assert diff <= 1, diff
+    # rewind support (the Python reader has no equivalent)
+    nat.rewind()
+    again = next(nat)
+    np.testing.assert_array_equal(again, got[0])
+    nat.close()
+    assert V.open_reader(path).__class__.__name__ == "NativeY4MReader"
+    assert V.open_reader(path, native="python").__class__.__name__ == "Y4MReader"
