@@ -38,6 +38,7 @@ from nu_scaler_core.capture import (
     PyScreenCapture,
     PyWindowByTitle,
 )
+from nu_scaler_core.facade import NuScaler
 from nu_scaler_core.interpolator import WgpuFrameInterpolator, create_interpolator
 from nu_scaler_core.upscaler import (
     PyAdvancedWgpuUpscaler,
@@ -61,6 +62,7 @@ __all__ = [
     "PyRegion",
     "PyVramStats",
     "PyBenchmarkResult",
+    "NuScaler",
     "WgpuFrameInterpolator",
     "create_interpolator",
     "create_advanced_upscaler",

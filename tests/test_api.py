@@ -285,3 +285,40 @@ def test_workgroup_preset_wired_to_warp_tile():
     out_w = wide.interpolate_py(a.tobytes(), b.tobytes(), 64, 32)
     out_t = tall.interpolate_py(a.tobytes(), b.tobytes(), 64, 32)
     assert len(out_w) == len(out_t) == 64 * 32 * 4
+
+
+def test_nuscaler_facade(monkeypatch):
+    """NuScaler facade parity (lib.rs:856-987): auto-tech construction,
+    one-shot capture_and_upscale, quality setter, error on no frame."""
+    ns = nsc.NuScaler()  # auto tech ("wgpu" on accelerators, "fallback" CPU)
+    assert ns.technology in ("wgpu", "fallback")
+    assert ns.get_upscaler_name()
+    ns2 = nsc.NuScaler.with_technology("fsr", "quality")
+    assert ns2.get_upscaler_name() == "FsrUpscaler"
+    # synthetic capture target so get_frame always yields
+    from nu_scaler_core.capture import PyCaptureTarget
+
+    ns2.set_capture_target(PyCaptureTarget.FullScreen)
+    import nu_scaler_core.capture as cap_mod
+
+    # probe the fullscreen source size with a polling drain
+    import time
+
+    ns2.capture.start(PyCaptureTarget.FullScreen)
+    got = None
+    deadline = time.monotonic() + 2.0
+    while got is None and time.monotonic() < deadline:
+        got = ns2.capture.get_frame()
+        time.sleep(0.01)
+    ns2.capture.stop()
+    assert got is not None
+    _, w, h = got
+    try:
+        out = ns2.capture_and_upscale(w, h, w * 2, h * 2)
+        assert len(out) == w * 2 * h * 2 * 4
+        with pytest.raises(RuntimeError, match="Captured frame is"):
+            ns2.capture_and_upscale(w + 2, h, w * 2, h * 2)
+    finally:
+        ns2.close()
+    ns2.set_quality("performance")
+    assert ns2.quality == "performance"
