@@ -69,3 +69,23 @@ def test_fsr_batched_pipeline_matches_single(rng):
     for i in range(2):
         out_s = np.asarray(jax.jit(fn)(jnp.asarray(frames[i])))
         np.testing.assert_array_equal(out_b[i], out_s)
+
+
+def test_pallas_conv3x3_matches_xla(rng):
+    from nu_scaler_tpu.kernels.conv_pallas import make_conv3x3
+
+    h, w, c = 32, 48, 128
+    fn = make_conv3x3(h, w, c, c, relu=True)
+    assert fn is not None
+    x = jnp.asarray(rng.random((h, w, c), np.float32), jnp.bfloat16)
+    k = jnp.asarray(rng.random((3, 3, c, c), np.float32) - 0.5, jnp.bfloat16)
+    b = jnp.asarray(rng.random((c,), np.float32) - 0.5, jnp.bfloat16)
+    out = np.asarray(fn(x, k, b), np.float32)
+    ref = jax.lax.conv_general_dilated(
+        x[None].astype(jnp.float32), k.astype(jnp.float32), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )[0] + b.astype(jnp.float32)
+    ref = np.asarray(jnp.maximum(ref, 0.0), np.float32)
+    # bf16 inputs both sides; tolerance for accumulation-order differences
+    assert np.max(np.abs(out - ref)) < 0.35, np.max(np.abs(out - ref))
+    assert np.mean(np.abs(out - ref)) < 0.02
