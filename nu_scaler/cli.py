@@ -51,6 +51,7 @@ def cmd_fullscreen(args) -> int:
         scale=args.scale,
         algorithm=args.algorithm,
         quality=args.quality,
+        technology=args.tech,
         interpolation=args.interpolate,
         interpolation_mode=args.interp_mode,
         sink=presenter.submit,
@@ -80,6 +81,7 @@ def cmd_cli(args) -> int:
         "--seconds", str(args.seconds if args.seconds > 0 else 5),
         "--scale", str(args.scale),
         "--quality", args.quality,
+        "--tech", args.tech,
         "--algorithm", args.algorithm,
         "--source", args.source,
     ]

@@ -88,6 +88,7 @@ class Engine:
         source: str = "fullscreen",
         scale: float = 2.0,
         quality: str = "quality",
+        technology: str = "wgpu",
         algorithm: str = "lanczos3",
         interpolation: bool = False,
         sink: Optional[Callable[[bytes, int, int], None]] = None,
@@ -100,6 +101,7 @@ class Engine:
             scale=scale,
             algorithm=algorithm,
             quality=quality,
+            technology=technology,
             interpolation=interpolation,
             target=target,
             sink=self.renderer.present,

@@ -18,6 +18,7 @@ def main(argv=None) -> int:
     p.add_argument("--seconds", type=float, default=5.0)
     p.add_argument("--scale", type=float, default=2.0)
     p.add_argument("--quality", default="quality")
+    p.add_argument("--tech", default="wgpu", choices=["wgpu", "fsr", "dlss", "fallback"])
     p.add_argument("--algorithm", default="lanczos3")
     p.add_argument("--interpolate", action="store_true")
     p.add_argument("--interp-mode", default="blend", choices=["blend", "flow", "flow_soft"])
@@ -43,6 +44,7 @@ def main(argv=None) -> int:
         scale=args.scale,
         algorithm=args.algorithm,
         quality=args.quality,
+        technology=args.tech,
         interpolation=args.interpolate,
         interpolation_mode=args.interp_mode,
         sink=sink,

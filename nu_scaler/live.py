@@ -31,6 +31,7 @@ class LiveSession:
         scale: float = 2.0,
         algorithm: str = "lanczos3",
         quality: str = "quality",
+        technology: str = "wgpu",
         interpolation: bool = False,
         interpolation_mode: str = "blend",
         target: Optional[object] = None,
@@ -41,6 +42,7 @@ class LiveSession:
         self.scale = scale
         self.algorithm = algorithm
         self.quality = quality
+        self.technology = (technology or "wgpu").lower()
         self.interpolation = interpolation
         self.interpolation_mode = interpolation_mode
         self.sink = sink or (lambda data, w, h: None)
@@ -89,8 +91,21 @@ class LiveSession:
         if self.upscaler is not None and self._in_size == (w, h):
             return
         out_w, out_h = int(w * self.scale), int(h * self.scale)
-        self.log.info("init upscaler %dx%d -> %dx%d (%s)", w, h, out_w, out_h, self.algorithm)
-        self.upscaler = nu_scaler_core.PyWgpuUpscaler(self.quality, self.algorithm)
+        self.log.info(
+            "init upscaler %dx%d -> %dx%d (%s/%s)",
+            w, h, out_w, out_h, self.technology, self.algorithm,
+        )
+        # per-technology upscaler selection (main.py:888-949's combo-box →
+        # DlssUpscaler/PyWgpuUpscaler wiring): fsr → EASU+RCAS, dlss → the
+        # learned ultra tier, wgpu/fallback → classical kernels
+        if self.technology == "fsr":
+            self.upscaler = nu_scaler_core.create_fsr_upscaler(self.quality)
+        elif self.technology == "dlss":
+            self.upscaler = nu_scaler_core.PyAdvancedWgpuUpscaler(
+                "ultra", self.algorithm, True
+            )
+        else:
+            self.upscaler = nu_scaler_core.PyWgpuUpscaler(self.quality, self.algorithm)
         self.upscaler.initialize(w, h, out_w, out_h)
         self._in_size = (w, h)
         self._prev_frame = None
@@ -152,5 +167,6 @@ class LiveSession:
             "input_size": self._in_size,
             "scale": self.scale,
             "algorithm": self.algorithm,
+            "technology": self.technology,
             "interpolation": self.interpolation,
         }

@@ -156,6 +156,7 @@ class LiveFeedModel:
             scale=settings.scale,
             algorithm=settings.algorithm,
             quality=settings.quality,
+            technology=settings.technology,
             interpolation=settings.interpolation,
             interpolation_mode=settings.interpolation_mode,
             sink=sink,

@@ -337,7 +337,13 @@ def make_fsr_upscaler(
     fn = None
     if integer:
         scale = out_h // in_h
-        if impl in ("auto", "pallas"):
+        # "auto" takes the fused Pallas kernel on real TPUs only — interpret
+        # mode on CPU is orders of magnitude slower than the XLA path at
+        # video sizes (tests force impl="pallas" for small golden shapes)
+        use_pallas = impl == "pallas" or (
+            impl == "auto" and jax.default_backend() == "tpu"
+        )
+        if use_pallas:
             fn = _fused_phase_pipeline(in_h, in_w, scale, sharp)
             if fn is None and impl == "pallas":
                 raise RuntimeError("Pallas FSR kernel unavailable for this shape")

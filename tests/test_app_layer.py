@@ -134,3 +134,22 @@ def test_gpu_monitor():
     mon.stop()
     assert lines and "HBM" in lines[0]
     optimize_upscaler(mon.upscaler)
+
+
+def test_live_session_technology_selection():
+    """main.py:888-949 parity: the live loop builds its upscaler from the
+    selected technology string."""
+    from nu_scaler.live import LiveSession
+
+    for tech, name in (("fsr", "FsrUpscaler"), ("wgpu", "WgpuUpscaler")):
+        s = LiveSession(technology=tech, scale=1.5, fps=120.0, quality="performance")
+        s.start()
+        try:
+            deadline = time.monotonic() + 10.0
+            while s.frames_out == 0 and time.monotonic() < deadline:
+                time.sleep(0.05)
+        finally:
+            s.stop()
+        assert s.frames_out > 0
+        assert s.upscaler is not None and s.upscaler.name == name
+        assert s.stats()["technology"] == tech
