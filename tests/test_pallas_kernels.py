@@ -89,3 +89,26 @@ def test_pallas_conv3x3_matches_xla(rng):
     # bf16 inputs both sides; tolerance for accumulation-order differences
     assert np.max(np.abs(out - ref)) < 0.35, np.max(np.abs(out - ref))
     assert np.mean(np.abs(out - ref)) < 0.02
+
+
+def test_pallas_conv3x3_nonmultiple_height(rng):
+    """h not divisible by the row-strip: internal pad + slice must keep SAME
+    zero-pad semantics at the bottom edge."""
+    from nu_scaler_tpu.kernels.conv_pallas import make_conv3x3
+
+    h, w, c = 27, 40, 128  # 27 % 8 != 0
+    fn = make_conv3x3(h, w, c, c, relu=False)
+    assert fn is not None
+    x = jnp.asarray(rng.random((h, w, c), np.float32), jnp.bfloat16)
+    k = jnp.asarray(rng.random((3, 3, c, c), np.float32) - 0.5, jnp.bfloat16)
+    b = jnp.zeros((c,), jnp.bfloat16)
+    out = np.asarray(fn(x, k, b), np.float32)
+    assert out.shape == (h, w, c)
+    ref = np.asarray(
+        jax.lax.conv_general_dilated(
+            x[None].astype(jnp.float32), k.astype(jnp.float32), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )[0],
+        np.float32,
+    )
+    assert np.max(np.abs(out - ref)) < 0.35
