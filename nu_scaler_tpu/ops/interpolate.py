@@ -416,6 +416,125 @@ def _tile_upsample_matrix(n_tiles: int, tile: int, n_px: int) -> np.ndarray:
     return m
 
 
+def _soft_warp_accumulate(
+    acc: tuple | None,
+    img_p: jax.Array,
+    offset_field: jax.Array,
+    k: int,
+    rng: int,
+    tile: tuple,
+    weight,
+) -> tuple:
+    """Accumulate `weight · soft_warp(img_p, offset_field)` into the aligned
+    accumulator pair `(acc_p, acc_q)` (bf16, [C, H, W+1] grid).
+
+    Overlapped-tile blending: instead of a hard per-tile candidate select
+    (which leaves visible seams where adjacent tiles chose different
+    motions), the per-tile one-hot candidate weights are bilinearly blended
+    to pixel resolution, each candidate slab is subpixel-lerped, and the
+    results weight-summed. Engineering that made this production-fast
+    (measured at 1080p on v5e, see tools/ ladder in BASELINE.md):
+
+    * The center-aligned bilinear tile→pixel upsample only ever mixes the 4
+      tiles nearest a pixel, and those are HALF-TILE STATIC SHIFTS of the
+      block-replicated tile fields — all-elementwise VPU work; the einsum
+      form paid 10-16× MXU padding on the tiny contraction dims.
+    * Per-candidate subpixel fractions are clip(smooth_shift − candᵢ, 0, 1),
+      computed elementwise from two shared [H, W+1] motion fields.
+    * Per-candidate column lerps would cost 2 lane-misaligned reads per
+      candidate (the hot spot: +1.6 ms). Every coefficient field is
+      continuous at tile scale, so the column lerp splits into two
+      lane-ALIGNED accumulators: out[j] = P[j] + Q[j+1] with
+      P = Σᵢ wkᵢ(1−fxᵢ)rowᵢ, Q = Σᵢ wkᵢfxᵢ rowᵢ — Q's coefficients sit one
+      lane right of their output pixel, an O(1/tw) error on smooth fields,
+      far below the block quantization itself. ONE lane shift total.
+    * Accumulators and slabs are bf16: u8-valued frames are bf16-exact, the
+      blend weights already carry ~1 LSB of design error, and the K-chain
+      accumulator round-trips are the traffic floor — halving them is the
+      single biggest lever.
+    * Callers accumulate BOTH frames of a warp/blend pair into the same
+      accumulators with premultiplied weights (1−t, t), halving round-trips
+      again versus materializing and mixing two warped frames.
+    """
+    c, h, w = img_p.shape
+    if offset_field.shape[:2] != (h, w):
+        raise ValueError(
+            f"offset_field {offset_field.shape[:2]} must match image [H, W] ({h}, {w})"
+        )
+    th, tw = min(tile[0], h), min(tile[1], w)
+    tiles = _tile_mean(offset_field, th, tw)
+    tiles = jnp.clip(tiles, -rng, rng)
+
+    q = jnp.floor(tiles).astype(jnp.int32)
+    side = 2 * rng + 2
+    ids = (q[..., 1] + rng) * side + (q[..., 0] + rng)
+    hist = jnp.zeros((side * side,), jnp.int32).at[ids.reshape(-1)].add(1)
+    _, top = jax.lax.top_k(hist, k)
+    cand_y = top // side - rng
+    cand_x = top % side - rng
+    d2 = (q[..., 1, None] - cand_y) ** 2 + (q[..., 0, None] - cand_x) ** 2
+    assign = jnp.argmin(d2, axis=-1)
+
+    pad = rng + 2
+    padded = jnp.pad(img_p, ((0, 0), (pad, pad), (pad, pad)), mode="edge").astype(
+        jnp.bfloat16
+    )
+    slabs = [
+        jax.lax.dynamic_slice(
+            padded, (0, pad + cand_y[i], pad + cand_x[i]), (c, h + 1, w + 1)
+        )
+        for i in range(k)
+    ]
+
+    hh, hw = th // 2, tw // 2
+    w1 = w + 1  # coefficient fields live on the slab (W+1) grid
+    # within-tile bilinear fractions (host constants, broadcast)
+    fyv = jnp.asarray(
+        (((np.arange(h, dtype=np.float64) + 0.5) / th - 0.5) % 1.0).astype(np.float32)
+    )[:, None]
+    fxv = jnp.asarray(
+        (((np.arange(w1, dtype=np.float64) + 0.5) / tw - 0.5) % 1.0).astype(np.float32)
+    )[None, :]
+
+    a_px = _tile_to_pixels(assign.astype(jnp.uint8), th, tw, h, w1)
+    a_t = _shift_edge(a_px, -hh, 0)
+    a_b = _shift_edge(a_px, th - hh, 0)
+    a_tl = _shift_edge(a_t, -hw, 1)
+    a_tr = _shift_edge(a_t, tw - hw, 1)
+    a_bl = _shift_edge(a_b, -hw, 1)
+    a_br = _shift_edge(a_b, tw - hw, 1)
+
+    def smooth(f):  # [Ty, Tx] → [H, W+1] center-aligned bilinear upsample
+        fp = _tile_to_pixels(f, th, tw, h, w1)
+        fv = (1.0 - fyv) * _shift_edge(fp, -hh, 0) + fyv * _shift_edge(fp, th - hh, 0)
+        return (1.0 - fxv) * _shift_edge(fv, -hw, 1) + fxv * _shift_edge(
+            fv, tw - hw, 1
+        )
+
+    sx = smooth(tiles[..., 0])  # smooth pixel-space motion fields
+    sy = smooth(tiles[..., 1])
+    if acc is None:
+        acc_p = jnp.zeros((c, h, w1), jnp.bfloat16)
+        acc_q = jnp.zeros((c, h, w1), jnp.bfloat16)
+    else:
+        acc_p, acc_q = acc
+    wgt = jnp.asarray(weight, jnp.float32)
+    for i in range(k):
+        s = slabs[i]
+        ii = jnp.uint8(i)
+        wv_t = jnp.where(a_tl == ii, 1.0 - fxv, 0.0) + jnp.where(a_tr == ii, fxv, 0.0)
+        wv_b = jnp.where(a_bl == ii, 1.0 - fxv, 0.0) + jnp.where(a_br == ii, fxv, 0.0)
+        wk_i = ((1.0 - fyv) * wv_t + fyv * wv_b) * wgt  # Σₖ wk = weight
+        fx = jnp.clip(sx - cand_x[i].astype(jnp.float32), 0.0, 1.0)
+        fy = jnp.clip(sy - cand_y[i].astype(jnp.float32), 0.0, 1.0).astype(
+            jnp.bfloat16
+        )[None]
+        row = s[:, :h, :] + fy * (s[:, 1:, :] - s[:, :h, :])  # sublane shift
+        acc_p = acc_p + (wk_i * (1.0 - fx)).astype(jnp.bfloat16)[None] * row
+        acc_q = acc_q + (wk_i * fx).astype(jnp.bfloat16)[None] * row
+    return acc_p, acc_q
+
+
 def block_warp_planar(
     img_p: jax.Array,
     offset_field: jax.Array,
@@ -437,6 +556,13 @@ def block_warp_planar(
     """
     c, h, w = img_p.shape
     th, tw = min(tile[0], h), min(tile[1], w)  # small pyramid levels
+
+    if overlap:
+        acc_p, acc_q = _soft_warp_accumulate(
+            None, img_p, offset_field, k=k, rng=rng, tile=(th, tw), weight=1.0
+        )
+        return (acc_p[:, :, :w] + acc_q[:, :, 1:]).astype(img_p.dtype)
+
     tiles = _tile_mean(offset_field, th, tw)  # [Ty, Tx, 2]
     tiles = jnp.clip(tiles, -rng, rng)
 
@@ -471,40 +597,6 @@ def block_warp_planar(
         for i in range(k)
     ]
 
-    if overlap:
-        # Overlapped-tile blending: instead of a hard per-tile candidate
-        # select (which leaves visible seams where adjacent tiles chose
-        # different motions), bilinearly upsample the per-tile one-hot
-        # candidate weights AND per-candidate subpixel fractions to pixel
-        # resolution (tiny dense MXU matmuls — tile grids are ~15–135 wide),
-        # lerp each candidate slab, and weight-sum. Pixels near tile centers
-        # keep their tile's motion; boundary pixels cross-fade — the
-        # warp_blend.wgsl:29-43 seamless-sampling role at block cost.
-        ty_n, tx_n = tiles.shape[0], tiles.shape[1]
-        bv = jnp.asarray(_tile_upsample_matrix(ty_n, th, h))  # [H, Ty]
-        bh = jnp.asarray(_tile_upsample_matrix(tx_n, tw, w))  # [W, Tx]
-        one_hot = (assign[..., None] == jnp.arange(k)).astype(jnp.float32)
-        fry_k = jnp.clip(tiles[..., 1:2] - cand_y[None, None, :].astype(jnp.float32), 0.0, 1.0)
-        frx_k = jnp.clip(tiles[..., 0:1] - cand_x[None, None, :].astype(jnp.float32), 0.0, 1.0)
-
-        def up(f):  # [Ty, Tx, K] → [K, H, W]
-            hi = jnp.einsum("hy,yxk->hxk", bv, f, precision=jax.lax.Precision.HIGHEST)
-            return jnp.einsum(
-                "hxk,wx->khw", hi, bh, precision=jax.lax.Precision.HIGHEST
-            )
-
-        wk = up(one_hot)
-        fyk = up(fry_k)
-        fxk = up(frx_k)
-        out = jnp.zeros((c, h, w), img_p.dtype)
-        for i in range(k):
-            s = slabs[i]
-            fx = fxk[i][None]
-            top_r = s[:, :h, :w] + fx * (s[:, :h, 1:] - s[:, :h, :w])
-            bot_r = s[:, 1:, :w] + fx * (s[:, 1:, 1:] - s[:, 1:, :w])
-            out = out + wk[i][None] * (top_r + fyk[i][None] * (bot_r - top_r))
-        return out
-
     # K candidate slabs, ONE select pass, ONE subpixel lerp. (Lerping after
     # the select reads the +1 neighbor from the winning tile's slab even
     # across tile boundaries — a 1px approximation where adjacent tiles
@@ -534,15 +626,40 @@ def warp_blend_fast(
     tile: tuple = WARP_TILE, overlap: bool = False,
 ) -> jax.Array:
     """Block-motion-compensated mix(a, b, t); gather-free production version
-    of warp_blend (u8 in/out). Planar internals, one relayout each way."""
+    of warp_blend (u8 in/out). Planar internals, one relayout each way.
+
+    Only RGB is motion-compensated; alpha is cross-faded (motion has no
+    alpha semantics, the capture path delivers alpha ≡ 255, and dropping
+    the 4th plane cuts warp traffic 25%)."""
     t = jnp.asarray(time_t, jnp.float32)
-    a = frame_a.astype(jnp.float32).transpose(2, 0, 1)
-    b = frame_b.astype(jnp.float32).transpose(2, 0, 1)
-    va = block_warp_planar(a, -t * flow, tile=tile, overlap=overlap)
-    vb = block_warp_planar(b, (1.0 - t) * flow, tile=tile, overlap=overlap)
-    out = (va + (vb - va) * t) * (1.0 / 255.0)
-    out = jnp.clip(jnp.round(out * 255.0), 0, 255).astype(jnp.uint8)
-    return out.transpose(1, 2, 0)
+    # one full 4-channel relayout each (planar-side slicing is free; a
+    # channel-minor [..., :3] slice before the transpose measured slower)
+    a4 = frame_a.astype(jnp.float32).transpose(2, 0, 1)
+    b4 = frame_b.astype(jnp.float32).transpose(2, 0, 1)
+    a, b = a4[:3], b4[:3]
+    if overlap:
+        # both frames accumulate into ONE soft-warp accumulator pair with
+        # premultiplied blend weights (see _soft_warp_accumulate)
+        h, w = a.shape[1], a.shape[2]
+        acc = _soft_warp_accumulate(
+            None, a, -t * flow, k=WARP_K, rng=WARP_RANGE, tile=tile,
+            weight=1.0 - t,
+        )
+        acc = _soft_warp_accumulate(
+            acc, b, (1.0 - t) * flow, k=WARP_K, rng=WARP_RANGE, tile=tile,
+            weight=t,
+        )
+        out = (acc[0][:, :, :w] + acc[1][:, :, 1:]).astype(jnp.float32)
+    else:
+        va = block_warp_planar(a, -t * flow, tile=tile)
+        vb = block_warp_planar(b, (1.0 - t) * flow, tile=tile)
+        out = va + (vb - va) * t
+    af, bf = a4[3:], b4[3:]
+    alpha_p = af + (bf - af) * t
+    out_p = jnp.concatenate([out, alpha_p], axis=0)  # planar concat (major axis)
+    return (
+        jnp.clip(jnp.round(out_p), 0, 255).astype(jnp.uint8).transpose(1, 2, 0)
+    )
 
 
 def compute_flow_fast(
