@@ -79,24 +79,6 @@ def _interleave_last(x: jax.Array, pm, precision=jax.lax.Precision.HIGHEST) -> j
     return out.reshape(*x.shape[:-1], t * tc)[..., : in_size * _scale_of(pm)]
 
 
-def _interleave_axis2(x: jax.Array, pm, precision=jax.lax.Precision.HIGHEST) -> jax.Array:
-    """Same along axis -2 of [..., I, W]."""
-    kind, data = pm
-    if kind == "dense":
-        return jnp.einsum("oi,...iw->...ow", jnp.asarray(data), x, precision=precision)
-    a, stride, halo, tc, t = data
-    in_size = x.shape[-2]
-    total = (t + 1) * stride
-    pads = [(0, 0)] * (x.ndim - 2) + [(halo, total - halo - in_size), (0, 0)]
-    xp = jnp.pad(x, pads)
-    blocks = xp.reshape(*x.shape[:-2], t + 1, stride, x.shape[-1])
-    slab = jnp.concatenate([blocks[..., :-1, :, :], blocks[..., 1:, :, :]], axis=-2)
-    out = jnp.einsum("tsp,...tsw->...tpw", jnp.asarray(a), slab, precision=precision)
-    return out.reshape(*x.shape[:-2], t * tc, x.shape[-1])[
-        ..., : in_size * _scale_of(pm), :
-    ]
-
-
 def _scale_of(pm) -> int:
     kind, data = pm
     if kind == "dense":
@@ -163,15 +145,17 @@ def _easu_polyphase_planar(img_u8: jax.Array, scale: int, sharpness: float) -> j
 
     # Interleave phases: out[s*i+py, s*j+px, c] = phases[py][px][c, i, j].
     # A direct transpose of the stacked phases is a 24 ms relayout on TPU;
-    # 1-tap banded scatter matmuls do it at memory speed instead.
-    out_p = jnp.zeros((3, in_h * scale, in_w * scale), jnp.float32)
+    # columns interleave via 1-tap banded scatter matmuls at memory speed,
+    # rows via a free stack+sublane-merge reshape.
+    rows = []
     for py in range(scale):
         acc = None
         for px in range(scale):
             v = _interleave_last(phases[py][px], _phase_matrix(in_w, scale, px))
             acc = v if acc is None else acc + v
-        out_p = out_p + _interleave_axis2(acc, _phase_matrix(in_h, scale, py))
-    return out_p  # planar [3, H*s, W*s] f32
+        rows.append(acc)  # [3, H, s·W] f32
+    st = jnp.stack(rows, axis=2)  # [3, H, s, s·W]
+    return st.reshape(3, in_h * scale, in_w * scale)  # planar [3, H·s, W·s]
 
 
 def _pack_planar(rgb_p: jax.Array) -> jax.Array:
@@ -287,11 +271,14 @@ def _fused_phase_pipeline(in_h: int, in_w: int, scale: int, sharp: float):
         return None
 
     def _finish(phases):
-        # phases: [..., s², 3, H, W] u8 ints ≤ 255 (bf16-exact)
+        # phases: [..., s², 3, H, W] u8 ints ≤ 255 (bf16-exact). Columns
+        # interleave through the banded 1-tap scatter matmuls (a lane
+        # interleave has no cheap reshape form); ROWS interleave for free by
+        # stacking the row-phase planes on a new sublane axis and merging it
+        # (measured: 1.72 → 0.96 ms for the whole tail at 1080p→4K,
+        # bit-identical output).
         ph = phases.astype(jnp.bfloat16)
-        out_p = jnp.zeros(
-            ph.shape[:-4] + (3, in_h * scale, in_w * scale), jnp.float32
-        )
+        rows = []
         for py in range(scale):
             acc = None
             for px in range(scale):
@@ -301,12 +288,11 @@ def _fused_phase_pipeline(in_h: int, in_w: int, scale: int, sharp: float):
                     precision=None,
                 )
                 acc = v if acc is None else acc + v
-            out_p = out_p + _interleave_axis2(
-                acc, _phase_matrix(in_h, scale, py), precision=None
-            )
-        # values are already rounded integers in [0, 255]
-        h, w = in_h * scale, in_w * scale
-        rgb_u8 = jnp.moveaxis(out_p.astype(jnp.uint8), -3, -1)
+            # values are already rounded integers in [0, 255]
+            rows.append(acc.astype(jnp.uint8))  # [..., 3, H, s·W]
+        st = jnp.stack(rows, axis=-2)  # [..., 3, H, s, s·W]
+        out_p = st.reshape(*st.shape[:-4], 3, in_h * scale, in_w * scale)
+        rgb_u8 = jnp.moveaxis(out_p, -3, -1)
         alpha = jnp.full(rgb_u8.shape[:-1] + (1,), 255, jnp.uint8)
         return jnp.concatenate([rgb_u8, alpha], axis=-1)
 
