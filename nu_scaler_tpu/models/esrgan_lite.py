@@ -205,6 +205,46 @@ def _bilinear_base_kernel(c: int, upscale: int, stride: int = 2) -> np.ndarray:
     return k
 
 
+@functools.lru_cache(maxsize=8)
+def _sparse_base_terms(c: int, upscale: int, stride: int):
+    """Factor the fixed base kernel K[3, 3, I, O] into the dense center-cell
+    1×1 matrix plus, per neighbor cell offset, a (A [I, k], B [k, O]) pair
+    where k = that offset's nonzero output phases (edge/corner phases only —
+    e.g. 48 of 768 at stride 8). B is a one-tap channel scatter."""
+    K = _bilinear_base_kernel(c, upscale, stride)
+    center = K[1, 1]
+    terms = []
+    for oy in (-1, 0, 1):
+        for ox in (-1, 0, 1):
+            if oy == 0 and ox == 0:
+                continue
+            M = K[oy + 1, ox + 1]
+            nz = np.nonzero(np.any(M != 0.0, axis=0))[0]
+            if nz.size == 0:
+                continue
+            A = np.ascontiguousarray(M[:, nz])
+            B = np.zeros((nz.size, M.shape[1]), np.float32)
+            B[np.arange(nz.size), nz] = 1.0
+            terms.append((oy, ox, A, B))
+    return center, tuple(terms)
+
+
+def _shift_edge_nhwc(x: jax.Array, dy: int, dx: int) -> jax.Array:
+    """out[n, i, j, c] = x[n, clip(i+dy), clip(j+dx), c] (edge clamp — the
+    semantics of the dense base path's edge-padded VALID conv)."""
+    if dy == 0 and dx == 0:
+        return x
+    n, h, w, c = x.shape
+    xp = jnp.pad(
+        x,
+        ((0, 0), (max(0, -dy), max(0, dy)), (max(0, -dx), max(0, dx)), (0, 0)),
+        mode="edge",
+    )
+    y0 = max(0, -dy) + dy
+    x0 = max(0, -dx) + dx
+    return xp[:, y0 : y0 + h, x0 : x0 + w, :]
+
+
 class ESRGANLiteTPU(nn.Module):
     """TPU-layout variant: space-to-depth(2) front end so the trunk runs at
     half spatial resolution with a lane-friendly channel count, and the tail
@@ -230,6 +270,12 @@ class ESRGANLiteTPU(nn.Module):
     # Measured conv efficiency on v5e (same FLOPs): 540p/C=64 = 5.2% of
     # peak, 270p/C=128 = 28.9%, 135p/C=256 = 56.1% — deeper s2d with wider
     # channels is the lever (tools/conv_sweep.py).
+    base_impl: str = "conv"  # "conv" = dense fixed 3×3 | "sparse" = structured
+    # The fixed base kernel is 99.8% zeros (each output phase has ≤4 bilinear
+    # taps): "sparse" computes the SAME values as a center-cell 1×1 matmul
+    # plus 8 tiny two-step neighbor corrections (reduced columns → one-tap
+    # channel scatter), cutting e.g. 86 GFLOP → ~18 at stride 8 / C=192.
+    # Parameter-free either way — checkpoints are interchangeable.
 
     def _conv(self, feats: int, name: str):
         if self.conv_impl == "shift":
@@ -262,15 +308,25 @@ class ESRGANLiteTPU(nn.Module):
         hdn = self._conv(self.features, "trunk")(hdn) + feat
         r = st * self.upscale  # phases relative to the trunk grid
         tail = self._conv(r * r * 3, "tail")(hdn)
-        base_k = jnp.asarray(_bilinear_base_kernel(c, self.upscale, st), x.dtype)
-        # edge-replicate the s2d neighborhood for the FIXED base (zero-pad
-        # would leave a dark bilinear ring at image borders; the learned
-        # convs keep zero-pad SAME, which training absorbs)
-        s2d_pad = jnp.pad(s2d, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
-        base = jax.lax.conv_general_dilated(
-            s2d_pad, base_k, (1, 1), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        # FIXED bilinear base over the s2d neighborhood, edge-replicated
+        # (zero-pad would leave a dark bilinear ring at image borders; the
+        # learned convs keep zero-pad SAME, which training absorbs)
+        if self.base_impl == "sparse":
+            center, terms = _sparse_base_terms(c, self.upscale, st)
+            base = jnp.einsum("nhwi,io->nhwo", s2d, jnp.asarray(center, x.dtype))
+            for oy, ox, a_m, b_m in terms:
+                sh = _shift_edge_nhwc(s2d, oy, ox)
+                red = jnp.einsum("nhwi,ik->nhwk", sh, jnp.asarray(a_m, x.dtype))
+                base = base + jnp.einsum(
+                    "nhwk,ko->nhwo", red, jnp.asarray(b_m, x.dtype)
+                )
+        else:
+            base_k = jnp.asarray(_bilinear_base_kernel(c, self.upscale, st), x.dtype)
+            s2d_pad = jnp.pad(s2d, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+            base = jax.lax.conv_general_dilated(
+                s2d_pad, base_k, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         phases = tail + base
         if phase_domain:
             return phases
@@ -433,13 +489,25 @@ def make_pretrained_upscaler(
         # layer pallas_calls break XLA's skip-add/boundary fusion. Kept as
         # conv_impl="pallas" for whole-trunk fusion work later.
         impl = "conv"
-        for arch, kw in (("tpu4", dict(stride=4, features=128)), ("tpu", {})):
+        for arch, kw in (
+            ("tpu8", dict(stride=8, features=128)),
+            ("tpu4", dict(stride=4, features=128)),
+            ("tpu", {}),
+        ):
             st_req = kw.get("stride", 2)
             if in_h % st_req or in_w % st_req:
                 continue  # s2d front end needs stride-divisible dims
             restored = load_checkpoint(stages, arch)
             if restored is not None:
-                model = ESRGANLiteTPU(upscale=2**stages, conv_impl=impl, **kw)
+                # stride-8 serving uses the structured sparse base (bit-equal
+                # to the dense fixed conv, parameter-free — _sparse_base_terms);
+                # at stride ≤4 the dense conv measured FASTER (the sparse
+                # path's tiny-dim scatter einsums cost more than the dense
+                # kernel's wasted zeros — tools/esrgan_arch_sweep.py)
+                base = "sparse" if st_req == 8 else "conv"
+                model = ESRGANLiteTPU(
+                    upscale=2**stages, conv_impl=impl, base_impl=base, **kw
+                )
                 params = restored[0]
                 break
     except Exception:  # noqa: BLE001
@@ -447,9 +515,16 @@ def make_pretrained_upscaler(
     if model is None:
         model = ESRGANLite(stages=stages)
         params = get_params(stages)
+    return make_serving_fn(model, params, in_h, in_w, out_h, out_w, dtype)
+
+
+def make_serving_fn(model, params, in_h, in_w, out_h, out_w, dtype=jnp.bfloat16):
+    """Build the jitted u8 RGBA → u8 RGBA serving function for any
+    ESRGANLite/ESRGANLiteTPU instance (used by `make_pretrained_upscaler`
+    and by tools/esrgan_arch_sweep.py to time candidate architectures)."""
     params = jax.tree_util.tree_map(lambda p: p.astype(dtype), params)
 
-    u = 2**stages
+    u = getattr(model, "upscale", None) or 2 ** getattr(model, "stages", 1)
     exact = isinstance(model, ESRGANLiteTPU) and (out_h, out_w) == (in_h * u, in_w * u)
 
     if exact:

@@ -152,8 +152,12 @@ def make_model(arch: str, stages: int):
         )
         return model, params
     if arch == "tpu8":
-        # trunk at 1/8 res with 256 channels: 56.1% of MXU peak per conv
-        model = el.ESRGANLiteTPU(upscale=2**stages, stride=8, features=256)
+        # trunk at 1/8 res (135p), 128 channels, sparse fixed base: the
+        # fastest end-to-end serving config of tools/esrgan_arch_sweep.py
+        # (4.02 ms/frame = 249 fps at 1080p→4K vs tpu4's 6.6 ms; C=256
+        # measured 5.3 ms, C=192 5.2 ms — the wider trunks' extra FLOPs cost
+        # more than their better per-conv MXU efficiency buys)
+        model = el.ESRGANLiteTPU(upscale=2**stages, stride=8, features=128)
         params = model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32)
         )

@@ -110,6 +110,27 @@ def test_phase_base_matches_bilinear_resize():
         assert diff < 1e-5, (stride, diff)
 
 
+def test_sparse_base_matches_dense():
+    """base_impl="sparse" (center-cell 1×1 + neighbor corrections) must be
+    numerically identical to the dense fixed base conv — serving relies on
+    checkpoint interchangeability between the two."""
+    import jax
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((1, 32, 48, 3), np.float32))
+    for stride, feats in ((2, 16), (4, 16), (8, 16)):
+        m1 = el.ESRGANLiteTPU(
+            upscale=2, stride=stride, features=feats, blocks=1, base_impl="conv"
+        )
+        m2 = el.ESRGANLiteTPU(
+            upscale=2, stride=stride, features=feats, blocks=1, base_impl="sparse"
+        )
+        p = m1.init(jax.random.PRNGKey(0), x)
+        o1 = np.asarray(m1.apply(p, x))
+        o2 = np.asarray(m2.apply(p, x))
+        np.testing.assert_allclose(o1, o2, rtol=1e-5, atol=1e-5)
+
+
 def test_tpu_phase_domain_consistent():
     """phase_domain=True output, depth-to-spaced, equals __call__'s image."""
     import jax
