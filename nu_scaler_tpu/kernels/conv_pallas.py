@@ -1,7 +1,7 @@
 """Pallas TPU kernel: 3×3 SAME conv for the learned tier's trunk shape.
 
 XLA's convolution lowering reaches ~29% of MXU peak at [270, 480, 128]
-(tools/conv_sweep.py). This kernel holds a row-strip slab in VMEM (static
+(tools/experiments/conv_sweep.py). This kernel holds a row-strip slab in VMEM (static
 t/t+1 BlockSpecs for the ±1 halo) and runs the conv as 9 accumulating
 dot_generals over the 128-lane channel dim — activations in bf16, f32
 accumulation, optional fused bias+ReLU.

@@ -269,7 +269,7 @@ class ESRGANLiteTPU(nn.Module):
     stride: int = 2  # space-to-depth factor: trunk runs at 1/stride res.
     # Measured conv efficiency on v5e (same FLOPs): 540p/C=64 = 5.2% of
     # peak, 270p/C=128 = 28.9%, 135p/C=256 = 56.1% — deeper s2d with wider
-    # channels is the lever (tools/conv_sweep.py).
+    # channels is the lever (tools/experiments/conv_sweep.py).
     base_impl: str = "conv"  # "conv" = dense fixed 3×3 | "sparse" = structured
     # The fixed base kernel is 99.8% zeros (each output phase has ≤4 bilinear
     # taps): "sparse" computes the SAME values as a center-cell 1×1 matmul
@@ -568,7 +568,7 @@ def make_serving_fn(model, params, in_h, in_w, out_h, out_w, dtype=jnp.bfloat16)
             ).reshape(nh, nw, r * r * 4)
             # d2s: per row-phase lane slice → FREE column reshape → row
             # stack. Measured 0.54 ms vs 2.5-4 ms for transpose forms
-            # (tools/d2s_sweep.py).
+            # (tools/experiments/d2s_sweep.py).
             rows = [
                 combined[..., p * r * 4 : (p + 1) * r * 4].reshape(nh, out_w, 4)
                 for p in range(r)

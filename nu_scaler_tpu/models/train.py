@@ -145,7 +145,7 @@ def make_model(arch: str, stages: int):
         return model, params
     if arch == "tpu4":
         # trunk at 1/4 res with 128 channels: 28.9% of MXU peak per conv vs
-        # 5.2% at 1/2-res/64ch (tools/conv_sweep.py)
+        # 5.2% at 1/2-res/64ch (tools/experiments/conv_sweep.py)
         model = el.ESRGANLiteTPU(upscale=2**stages, stride=4, features=128)
         params = model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32)

@@ -5,7 +5,7 @@ Measures the FULL 1080p→4K u8→u8 serving path (`make_serving_fn`) per
 architecture on the TPU, with the chained-fori_loop methodology (CLAUDE.md:
 never trust per-call wall timing through the tunnel).
 
-Context: tools/conv_sweep.py measured XLA 3×3-conv MXU efficiency at equal
+Context: tools/experiments/conv_sweep.py measured XLA 3×3-conv MXU efficiency at equal
 FLOPs as 540p/C=64 = 5.2%, 270p/C=128 = 28.9%, 135p/C=256 = 56.1% — deeper
 space-to-depth with wider channels is the serving lever. This sweep answers
 what that means end-to-end (tail/base convs scale differently with stride).
