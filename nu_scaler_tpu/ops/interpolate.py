@@ -235,6 +235,11 @@ def horn_schunck(
     it = lum2 - lum1
     denom = lam + ix * ix + iy * iy
 
+    # tie the initial carry to the (possibly vmapped) image operands: under
+    # jax.vmap a constant flow0 would enter the fori_loop unbatched while the
+    # body output is batched — a carry-type mismatch
+    flow0 = flow0 + 0.0 * jnp.stack((ix, iy), axis=-1)
+
     def step(_, flow):
         avg = _box3_avg(flow)
         common = (ix * avg[..., 0] + iy * avg[..., 1] + it) / denom

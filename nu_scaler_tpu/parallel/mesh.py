@@ -125,6 +125,47 @@ def upscale_frame_spatial(
     return fn(jnp.asarray(frame))
 
 
+def interpolate_batch_sharded(
+    pairs_a: np.ndarray,
+    pairs_b: np.ndarray,
+    time_t: float = 0.5,
+    mode: str = "flow",
+    mesh: Mesh | None = None,
+    levels: int = 2,
+) -> jax.Array:
+    """Motion-compensated interpolation over a BATCH of frame pairs, data
+    parallel across the mesh (the 30→60 fps batch-transcode shape): each chip
+    runs the full gather-free flow+warp pipeline on its shard of pairs.
+    Collective-free, like `upscale_batch_sharded`.
+
+    pairs_a/pairs_b: u8 [N, H, W, 4]; N must divide by the mesh size.
+    mode: "blend" | "flow" | "flow_soft" (the overlapped-tile warp).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from nu_scaler_tpu.ops import interpolate as _interp
+
+    if mesh is None:
+        mesh = make_mesh()
+    n = pairs_a.shape[0]
+    if n % mesh.devices.size:
+        raise ValueError(f"batch {n} not divisible by mesh size {mesh.devices.size}")
+
+    def one(a, b):
+        if mode == "blend":
+            return _interp.blend_only(a, b, time_t)
+        flow = _interp.compute_flow_fast(a, b, levels=levels)
+        return _interp.warp_blend_fast(a, b, flow, time_t, overlap=mode == "flow_soft")
+
+    def body(a_shard, b_shard):
+        return jax.vmap(one)(a_shard, b_shard)
+
+    sharded = shard_map(
+        body, mesh=mesh, in_specs=(P("batch"), P("batch")), out_specs=P("batch")
+    )
+    return jax.jit(sharded)(jnp.asarray(pairs_a), jnp.asarray(pairs_b))
+
+
 def esrgan_infer_spatial(model, params, x, mesh: Mesh | None = None, axis: str = "batch"):
     """Learned-tier inference with the FRAME sharded spatially (sp): input
     rows split over the mesh; XLA inserts the conv halo exchanges over ICI

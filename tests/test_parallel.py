@@ -32,6 +32,41 @@ def test_batch_sharded_pads_ragged(rng):
     assert out.shape == (5, 32, 32, 4)
 
 
+def test_interpolate_batch_sharded_matches_single(rng):
+    """dp MC-interpolation: each chip's shard must equal the single-device
+    pipeline (same program, batch axis sharded)."""
+    from nu_scaler_tpu.ops import interpolate as I
+
+    m = pmesh.make_mesh()
+    pa = rng.integers(0, 256, (8, 32, 64, 4), np.uint8)
+    pb = np.roll(pa, 3, axis=2)
+    for mode in ("blend", "flow_soft"):
+        out = np.asarray(
+            pmesh.interpolate_batch_sharded(pa, pb, 0.5, mode, m, levels=2)
+        )
+        assert out.shape == (8, 32, 64, 4)
+        if mode == "blend":
+            ref = np.asarray(I.blend_only(jax.numpy.asarray(pa[0]), jax.numpy.asarray(pb[0]), 0.5))
+        else:
+            flow = I.compute_flow_fast(
+                jax.numpy.asarray(pa[0]), jax.numpy.asarray(pb[0]), levels=2
+            )
+            ref = np.asarray(
+                I.warp_blend_fast(
+                    jax.numpy.asarray(pa[0]), jax.numpy.asarray(pb[0]), flow, 0.5,
+                    overlap=True,
+                )
+            )
+        np.testing.assert_allclose(out[0].astype(int), ref.astype(int), atol=2)
+
+
+def test_interpolate_batch_sharded_rejects_ragged(rng):
+    m = pmesh.make_mesh()
+    pa = rng.integers(0, 256, (5, 16, 32, 4), np.uint8)
+    with pytest.raises(ValueError):
+        pmesh.interpolate_batch_sharded(pa, pa, 0.5, "flow", m)
+
+
 @pytest.mark.parametrize("algo", ["bilinear", "lanczos3"])
 def test_spatial_sharded_matches_single(rng, algo):
     m = pmesh.make_mesh()
