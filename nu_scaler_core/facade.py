@@ -24,9 +24,14 @@ def _create_upscaler(technology: str, quality: str):
         return PyFsrUpscaler(quality)
     if t in ("dlss", "wgpu"):
         # "dlss" maps to the learned tier via the advanced upscaler's ultra
-        # quality; plain wgpu keeps the requested quality
+        # quality; plain wgpu keeps the requested quality. A dlss request at
+        # performance/balanced quality serves the FAST learned arch ladder
+        # (stride-8 trunks) instead of the quality-first one.
         q = "ultra" if t == "dlss" else quality
-        return PyAdvancedWgpuUpscaler(q, "bilinear", True)
+        up = PyAdvancedWgpuUpscaler(q, "bilinear", True)
+        if t == "dlss" and (quality or "").lower() in ("performance", "balanced"):
+            up.learned_prefer = "performance"
+        return up
     return PyWgpuUpscaler(quality, "nearest")  # fallback
 
 

@@ -232,7 +232,15 @@ class PyAdvancedWgpuUpscaler(PyWgpuUpscaler):
             try:
                 from nu_scaler_tpu.models import esrgan_lite
 
-                self._fn = esrgan_lite.make_pretrained_upscaler(
+                # learned_prefer="performance" (set by the facade for
+                # dlss×performance/balanced requests) serves the faster
+                # stride-8 trunks; default is the quality-first ladder
+                build = (
+                    esrgan_lite.make_fast_upscaler
+                    if getattr(self, "learned_prefer", "quality") == "performance"
+                    else esrgan_lite.make_pretrained_upscaler
+                )
+                self._fn = build(
                     self.input_height, self.input_width,
                     self.output_height, self.output_width,
                 )

@@ -30,12 +30,8 @@ CKPT_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path
 
 
 def ckpt_dir(stages: int, arch: str = "lite") -> str:
-    if arch == "tpu":
-        return os.path.join(CKPT_ROOT, f"esrgan_tpu_x{2**stages}")
-    if arch == "tpu4":
-        return os.path.join(CKPT_ROOT, f"esrgan_tpu4_x{2**stages}")
-    if arch == "tpu8":
-        return os.path.join(CKPT_ROOT, f"esrgan_tpu8_x{2**stages}")
+    if arch.startswith("tpu"):
+        return os.path.join(CKPT_ROOT, f"esrgan_{arch}_x{2**stages}")
     return os.path.join(CKPT_ROOT, f"esrgan_lite_s{stages}")
 
 
@@ -154,10 +150,19 @@ def make_model(arch: str, stages: int):
     if arch == "tpu8":
         # trunk at 1/8 res (135p), 128 channels, sparse fixed base: the
         # fastest end-to-end serving config of tools/esrgan_arch_sweep.py
-        # (4.02 ms/frame = 249 fps at 1080p→4K vs tpu4's 6.6 ms; C=256
-        # measured 5.3 ms, C=192 5.2 ms — the wider trunks' extra FLOPs cost
-        # more than their better per-conv MXU efficiency buys)
+        # (4.02 ms/frame = 249 fps at 1080p→4K vs tpu4's 6.6 ms). Held-out
+        # quality is only lanczos3-level (+0.03 dB, −0.028 SSIM after 20k
+        # steps — the 128-wide trunk bottlenecks the 192-dim s2d input), so
+        # this arch serves the "performance" learned tier, not the default.
         model = el.ESRGANLiteTPU(upscale=2**stages, stride=8, features=128)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32)
+        )
+        return model, params
+    if arch == "tpu8w":
+        # stride-8 trunk WITHOUT the channel bottleneck (C=192 matches the
+        # s2d input width): 5.0 ms serving (200 fps) in the arch sweep
+        model = el.ESRGANLiteTPU(upscale=2**stages, stride=8, features=192)
         params = model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32)
         )
@@ -247,7 +252,7 @@ if __name__ == "__main__":
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--stages", type=int, default=1)
     p.add_argument("--lr", type=float, default=2e-4)
-    p.add_argument("--arch", default="lite", choices=["lite", "tpu", "tpu4", "tpu8"])
+    p.add_argument("--arch", default="lite", choices=["lite", "tpu", "tpu4", "tpu8", "tpu8w"])
     p.add_argument("--data", default="video", choices=["video", "synthetic"])
     p.add_argument("--crop", type=int, default=96)
     p.add_argument("--loss", default="l1", choices=["l1", "l1_grad"])

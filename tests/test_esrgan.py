@@ -110,6 +110,45 @@ def test_phase_base_matches_bilinear_resize():
         assert diff < 1e-5, (stride, diff)
 
 
+def test_performance_ladder_prefers_stride8():
+    """make_fast_upscaler must serve a stride-8 arch when its checkpoint
+    exists; make_pretrained_upscaler must stay on the quality-first ladder."""
+    import os
+    import pytest
+
+    from nu_scaler_tpu.models.train import ckpt_dir
+
+    if not os.path.exists(os.path.join(ckpt_dir(1, "tpu8"), "latest.txt")):
+        pytest.skip("no tpu8 checkpoint")
+    fast = el.make_fast_upscaler(32, 64, 64, 128)
+    assert fast.arch in ("tpu8", "tpu8w"), fast.arch
+    qual = el.make_pretrained_upscaler(32, 64, 64, 128)
+    assert qual.arch in ("tpu4", "tpu", "lite"), qual.arch
+    # both must honor the u8 RGBA contract
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.integers(0, 256, (32, 64, 4), np.uint8))
+    out = np.asarray(fast(img))
+    assert out.shape == (64, 128, 4) and out.dtype == np.uint8
+
+
+def test_facade_dlss_performance_uses_fast_ladder():
+    import os
+    import pytest
+
+    import nu_scaler_core as nsc
+    from nu_scaler_tpu.models.train import ckpt_dir
+
+    if not os.path.exists(os.path.join(ckpt_dir(1, "tpu8"), "latest.txt")):
+        pytest.skip("no tpu8 checkpoint")
+    up = nsc.NuScaler.with_technology("dlss", "performance").upscaler
+    assert getattr(up, "learned_prefer", "quality") == "performance"
+    up.initialize(64, 32, 128, 64)
+    assert getattr(up._fn, "arch", None) in ("tpu8", "tpu8w")
+    up_q = nsc.NuScaler.with_technology("dlss", "ultra").upscaler
+    up_q.initialize(64, 32, 128, 64)
+    assert getattr(up_q._fn, "arch", None) in ("tpu4", "tpu", "lite")
+
+
 def test_sparse_base_matches_dense():
     """base_impl="sparse" (center-cell 1×1 + neighbor corrections) must be
     numerically identical to the dense fixed base conv — serving relies on
