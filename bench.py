@@ -306,9 +306,27 @@ def main() -> None:
 
         spf = timed_loop(ebody, jax.device_put(make_input()), max(iters // 4, 3), overhead)
         extras["esrgan_fps"] = round(1.0 / spf, 1)
-        log(f"upscale[esrgan   ] 1080p→4K {extras['esrgan_fps']:9.1f} fps (learned tier)")
+        arch = getattr(efn, "arch", "?")
+        log(f"upscale[esrgan   ] 1080p→4K {extras['esrgan_fps']:9.1f} fps (learned tier, {arch})")
     except Exception as e:  # noqa: BLE001
         log(f"esrgan bench failed: {e}")
+    # performance learned tier (stride-8 ladder: NuScaler("dlss","performance"))
+    try:
+        ffn = el.make_fast_upscaler(IN_H, IN_W, OUT_H, OUT_W)
+        if getattr(ffn, "arch", None) in ("tpu8", "tpu8w"):
+
+            def fbody(state):
+                out = ffn(state)
+                return out[:IN_H, :IN_W, :]
+
+            spf = timed_loop(fbody, jax.device_put(make_input()), max(iters // 4, 3), overhead)
+            extras["esrgan_fast_fps"] = round(1.0 / spf, 1)
+            log(
+                f"upscale[esrgan-pf] 1080p→4K {extras['esrgan_fast_fps']:9.1f} fps "
+                f"(performance learned tier, {ffn.arch})"
+            )
+    except Exception as e:  # noqa: BLE001
+        log(f"esrgan fast bench failed: {e}")
     try:
         from nu_scaler_tpu.models.data import eval_vs_lanczos3
 
