@@ -303,8 +303,9 @@ def _fused_phase_pipeline(in_h: int, in_w: int, scale: int, sharp: float):
     def fn(img):
         if img.ndim == 4:
             # sequential map of the single-frame program: measured faster
-            # than a batch grid dim here (194 vs 282 fps/frame at 1080p→4K —
-            # the batched interleave relayouts dominate)
+            # than a batch grid dim even after the cheap stack-reshape tail
+            # (340.6 vs 272.8 fps/frame at n=4 1080p→4K — the batched
+            # interleave matmuls still relayout worse than per-frame runs)
             return jax.lax.map(_single, img)
         return _single(img)
 
