@@ -55,6 +55,35 @@ def test_flow_mode_tiny_frames(rng):
     assert out.shape == (12, 20, 4)
 
 
+def test_flow_soft_tiny_and_odd_frames(rng):
+    """The overlapped-tile warp (aligned P/Q accumulators, half-tile shifted
+    fields) must survive frames smaller than a warp tile and odd shapes."""
+    from nu_scaler_tpu.ops import interpolate as I
+
+    for h, w in ((12, 20), (7, 13), (33, 65), (8, 128)):
+        a = rng.integers(0, 256, (h, w, 4), np.uint8)
+        a[..., 3] = 255
+        b = np.roll(a, 2, axis=1)
+        out = np.asarray(I.interpolate_frames(a, b, 0.5, mode="flow_soft"))
+        assert out.shape == (h, w, 4), (h, w)
+        assert out[..., 3].min() == 255  # alpha cross-fade of 255s stays 255
+
+
+def test_soft_warp_uniform_shift_recovers_image(rng):
+    """A uniform integer shift must be recovered (near-)exactly by the soft
+    warp away from edges — the bf16 accumulate may cost ~1 LSB."""
+    from nu_scaler_tpu.ops import interpolate as I
+    import jax.numpy as jnp
+
+    img = jnp.asarray(rng.integers(0, 256, (3, 48, 160), np.uint8), jnp.float32)
+    off = np.zeros((48, 160, 2), np.float32)
+    off[..., 0] = 5.0  # +5 px in x
+    out = np.asarray(I.block_warp_planar(img, jnp.asarray(off), overlap=True))
+    ref = np.asarray(img)[:, :, 5:]
+    err = np.abs(out[:, :, :-5] - ref[:, :, : out.shape[2] - 5]).max()
+    assert err <= 2.0, err
+
+
 def test_capture_restart_cycles():
     cap = nsc.PyScreenCapture()
     for _ in range(3):
