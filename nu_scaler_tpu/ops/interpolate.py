@@ -102,6 +102,8 @@ def build_pyramid(img_f: jax.Array, levels: int) -> list[jax.Array]:
     (build_pyramid, wgpu_interpolator.rs:969-1100). Returns `levels` arrays."""
     pyr = [img_f]
     for _ in range(levels - 1):
+        if pyr[-1].shape[-3] < 4 or pyr[-1].shape[-2] < 4:
+            break  # a further halving would degenerate (tiny frames)
         pyr.append(downsample2x(gaussian_blur(pyr[-1])))
     return pyr
 
@@ -191,6 +193,8 @@ def build_luma_pyramid(frame_u8: jax.Array, levels: int) -> list[jax.Array]:
     pyr = [lum]
     for _ in range(levels - 1):
         cur = pyr[-1]
+        if cur.shape[-2] < 4 or cur.shape[-1] < 4:
+            break  # a further halving would degenerate (tiny frames)
         cur = _apply_banded_axis2(cur, _pyramid_step_matrix(cur.shape[-2]))
         cur = _apply_banded_last(cur, _pyramid_step_matrix(cur.shape[-1]))
         pyr.append(cur)
@@ -690,6 +694,8 @@ def compute_flow_fast(
     full_h, full_w = frame_a.shape[-3], frame_a.shape[-2]
     lums_a = build_luma_pyramid(frame_a, levels)
     lums_b = build_luma_pyramid(frame_b, levels)
+    levels = len(lums_a)  # tiny frames: the pyramid stops before degenerating
+    base_level = min(base_level, levels - 1)
 
     flow = jnp.zeros(lums_a[-1].shape + (2,), jnp.float32)
     flow = horn_schunck(lums_a[-1], lums_b[-1], flow, coarse_iters, lam)
@@ -733,6 +739,7 @@ def compute_flow(
     pyr_b = build_pyramid(b, levels)
     lums_a = [luminance(p) for p in pyr_a]
     lums_b = [luminance(p) for p in pyr_b]
+    levels = len(lums_a)  # tiny frames: the pyramid stops before degenerating
 
     coarse_shape = lums_a[-1].shape
     flow = jnp.zeros(coarse_shape + (2,), jnp.float32)
