@@ -166,6 +166,38 @@ def interpolate_batch_sharded(
     return jax.jit(sharded)(jnp.asarray(pairs_a), jnp.asarray(pairs_b))
 
 
+def fsr_batch_sharded(
+    frames: np.ndarray,
+    out_h: int,
+    out_w: int,
+    quality: str = "quality",
+    mesh: Mesh | None = None,
+) -> jax.Array:
+    """FSR (EASU+RCAS) over a batch of frames, data parallel across the mesh
+    — each chip runs the fused phase pipeline on its shard. Collective-free.
+
+    frames: u8 [N, H, W, 4]; N must divide by the mesh size."""
+    from jax.experimental.shard_map import shard_map
+
+    from nu_scaler_tpu.ops import fsr as _fsr
+
+    if mesh is None:
+        mesh = make_mesh()
+    n, in_h, in_w = frames.shape[0], frames.shape[1], frames.shape[2]
+    if n % mesh.devices.size:
+        raise ValueError(f"batch {n} not divisible by mesh size {mesh.devices.size}")
+    fn = _fsr.make_fsr_upscaler(in_h, in_w, out_h, out_w, quality)
+    # sequential map of the single-frame program per shard (the measured-best
+    # batch strategy for FSR — see ops/fsr._fused_phase_pipeline)
+    sharded = shard_map(
+        lambda x: jax.lax.map(fn, x),
+        mesh=mesh,
+        in_specs=(P("batch"),),
+        out_specs=P("batch"),
+    )
+    return jax.jit(sharded)(jnp.asarray(frames))
+
+
 def esrgan_infer_spatial(model, params, x, mesh: Mesh | None = None, axis: str = "batch"):
     """Learned-tier inference with the FRAME sharded spatially (sp): input
     rows split over the mesh; XLA inserts the conv halo exchanges over ICI

@@ -60,6 +60,19 @@ def test_interpolate_batch_sharded_matches_single(rng):
         np.testing.assert_allclose(out[0].astype(int), ref.astype(int), atol=2)
 
 
+def test_fsr_batch_sharded_matches_single(rng):
+    from nu_scaler_tpu.ops import fsr as F
+
+    m = pmesh.make_mesh()
+    frames = rng.integers(0, 256, (8, 16, 24, 4), np.uint8)
+    out = np.asarray(pmesh.fsr_batch_sharded(frames, 32, 48, "quality", m))
+    assert out.shape == (8, 32, 48, 4)
+    single = F.make_fsr_upscaler(16, 24, 32, 48, "quality")
+    np.testing.assert_allclose(
+        out[3].astype(int), np.asarray(single(frames[3])).astype(int), atol=1
+    )
+
+
 def test_interpolate_batch_sharded_rejects_ragged(rng):
     m = pmesh.make_mesh()
     pa = rng.integers(0, 256, (5, 16, 32, 4), np.uint8)
