@@ -116,6 +116,79 @@ def test_soft_warp_reduces_tile_seams_under_varying_flow():
     assert err_soft < 0.5 * err_hard, (err_soft, err_hard)
 
 
+def test_soft_warp_pq_split_close_to_exact():
+    """The production soft warp evaluates Q's coefficients one lane right of
+    their output pixel (aligned P/Q accumulators — see
+    _soft_warp_accumulate). Against the EXACT per-candidate bilinear form
+    the error must stay at the bf16-LSB scale on smooth motion (the
+    coefficient fields are continuous at tile scale)."""
+    rng = np.random.default_rng(11)
+    h, w = 64, 256
+    img = jnp.asarray(rng.random((3, h, w)).astype(np.float32) * 255.0)
+    off = np.zeros((h, w, 2), np.float32)
+    off[..., 0] = np.linspace(-6.0, 6.0, h)[:, None]  # smooth shear
+    off[..., 1] = 1.3
+    offj = jnp.asarray(off)
+
+    got = np.asarray(I.block_warp_planar(img, offj, tile=(8, 32), overlap=True))
+
+    # exact reference: per-candidate bilinear lerp with the same candidates,
+    # weights and smooth fractions (f64 numpy)
+    from nu_scaler_tpu.ops.interpolate import (
+        WARP_K, WARP_RANGE, _tile_mean, _tile_to_pixels, _shift_edge)
+    import jax
+
+    th, tw = 8, 32
+    tiles = np.asarray(_tile_mean(offj, th, tw))
+    tiles = np.clip(tiles, -WARP_RANGE, WARP_RANGE)
+    q = np.floor(tiles).astype(np.int32)
+    side = 2 * WARP_RANGE + 2
+    ids = (q[..., 1] + WARP_RANGE) * side + (q[..., 0] + WARP_RANGE)
+    hist = np.bincount(ids.reshape(-1), minlength=side * side)
+    top = np.argsort(-hist, kind="stable")[:WARP_K]
+    cand_y = top // side - WARP_RANGE
+    cand_x = top % side - WARP_RANGE
+    d2 = (q[..., 1, None] - cand_y) ** 2 + (q[..., 0, None] - cand_x) ** 2
+    assign = np.argmin(d2, axis=-1)
+
+    pad = WARP_RANGE + 2
+    padded = np.pad(np.asarray(img), ((0, 0), (pad, pad), (pad, pad)), mode="edge")
+    hh, hw = th // 2, tw // 2
+    fyv = (((np.arange(h) + 0.5) / th - 0.5) % 1.0)[:, None]
+    fxv = (((np.arange(w) + 0.5) / tw - 0.5) % 1.0)[None, :]
+
+    def rep(f):
+        return np.asarray(_tile_to_pixels(jnp.asarray(f), th, tw, h, w))
+
+    def sh(a, dy, dx):
+        return np.asarray(_shift_edge(_shift_edge(jnp.asarray(a), dy, 0), dx, 1))
+
+    a_px = rep(assign.astype(np.float64))
+    a_tl = sh(a_px, -hh, -hw); a_tr = sh(a_px, -hh, tw - hw)
+    a_bl = sh(a_px, th - hh, -hw); a_br = sh(a_px, th - hh, tw - hw)
+    sxr = rep(tiles[..., 0]); syr = rep(tiles[..., 1])
+    smooth_x = (1 - fxv) * ((1 - fyv) * sh(sxr, -hh, -hw) + fyv * sh(sxr, th - hh, -hw)) + \
+        fxv * ((1 - fyv) * sh(sxr, -hh, tw - hw) + fyv * sh(sxr, th - hh, tw - hw))
+    smooth_y = (1 - fxv) * ((1 - fyv) * sh(syr, -hh, -hw) + fyv * sh(syr, th - hh, -hw)) + \
+        fxv * ((1 - fyv) * sh(syr, -hh, tw - hw) + fyv * sh(syr, th - hh, tw - hw))
+
+    ref = np.zeros((3, h, w))
+    for i in range(WARP_K):
+        slab = padded[:, pad + cand_y[i] : pad + cand_y[i] + h + 1,
+                      pad + cand_x[i] : pad + cand_x[i] + w + 1]
+        wk = (1 - fyv) * ((a_tl == i) * (1 - fxv) + (a_tr == i) * fxv) + \
+            fyv * ((a_bl == i) * (1 - fxv) + (a_br == i) * fxv)
+        fx = np.clip(smooth_x - cand_x[i], 0, 1)
+        fy = np.clip(smooth_y - cand_y[i], 0, 1)
+        top_r = slab[:, :h, :w] + fx * (slab[:, :h, 1:] - slab[:, :h, :w])
+        bot_r = slab[:, 1:, :w] + fx * (slab[:, 1:, 1:] - slab[:, 1:, :w])
+        ref = ref + wk * (top_r + fy * (bot_r - top_r))
+
+    err = np.abs(got - ref)
+    assert err.mean() < 1.0 and np.percentile(err, 99) < 4.0, (
+        err.mean(), np.percentile(err, 99), err.max())
+
+
 def test_flow_soft_api():
     import nu_scaler_core as nsc
 
