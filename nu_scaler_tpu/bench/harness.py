@@ -89,7 +89,14 @@ def make_tech_upscaler(technology: str, quality: str, in_h: int, in_w: int, out_
         try:
             from nu_scaler_tpu.models import esrgan_lite
 
-            return esrgan_lite.make_pretrained_upscaler(in_h, in_w, out_h, out_w), "LearnedUpscaler"
+            # quality ladder: performance/balanced requests serve the fast
+            # stride-8 learned archs (same mapping as the NuScaler facade)
+            build = (
+                esrgan_lite.make_fast_upscaler
+                if quality in ("performance", "balanced")
+                else esrgan_lite.make_pretrained_upscaler
+            )
+            return build(in_h, in_w, out_h, out_w), "LearnedUpscaler"
         except Exception:
             return make_tech_upscaler("wgpu", "ultra", in_h, in_w, out_h, out_w)[0], "WgpuUpscaler"
     if technology == "wgpu":
