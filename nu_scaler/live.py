@@ -104,6 +104,10 @@ class LiveSession:
             self.upscaler = nu_scaler_core.PyAdvancedWgpuUpscaler(
                 "ultra", self.algorithm, True
             )
+            if self.quality in ("performance", "balanced"):
+                # requested speed over fidelity: the fast stride-8 learned
+                # ladder (same mapping as the NuScaler facade)
+                self.upscaler.learned_prefer = "performance"
         else:
             self.upscaler = nu_scaler_core.PyWgpuUpscaler(self.quality, self.algorithm)
         self.upscaler.initialize(w, h, out_w, out_h)

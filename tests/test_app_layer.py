@@ -153,3 +153,16 @@ def test_live_session_technology_selection():
         assert s.frames_out > 0
         assert s.upscaler is not None and s.upscaler.name == name
         assert s.stats()["technology"] == tech
+
+
+def test_live_session_dlss_performance_prefers_fast_ladder():
+    """A dlss live session at performance quality must request the fast
+    learned arch ladder (stride-8 trunks) before building its pipeline."""
+    from nu_scaler.live import LiveSession
+
+    s = LiveSession(technology="dlss", quality="performance", scale=2.0)
+    s._ensure_upscaler(64, 32)
+    assert getattr(s.upscaler, "learned_prefer", "quality") == "performance"
+    s_q = LiveSession(technology="dlss", quality="ultra", scale=2.0)
+    s_q._ensure_upscaler(64, 32)
+    assert getattr(s_q.upscaler, "learned_prefer", "quality") == "quality"
