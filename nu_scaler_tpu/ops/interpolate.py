@@ -564,6 +564,10 @@ def block_warp_planar(
     the interpolator's preset string maps onto it (interpolator.py).
     """
     c, h, w = img_p.shape
+    if offset_field.shape[:2] != (h, w):
+        raise ValueError(
+            f"offset_field {offset_field.shape[:2]} must match image [H, W] ({h}, {w})"
+        )
     th, tw = min(tile[0], h), min(tile[1], w)  # small pyramid levels
 
     if overlap:
