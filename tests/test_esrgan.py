@@ -110,6 +110,24 @@ def test_phase_base_matches_bilinear_resize():
         assert diff < 1e-5, (stride, diff)
 
 
+def test_x4_checkpoint_serves_scale4():
+    """A trained x4 (stages=2) checkpoint must serve 4× learned upscaling
+    through the standard exact phase-domain path."""
+    import os
+    import pytest
+
+    from nu_scaler_tpu.models.train import ckpt_dir
+
+    if not os.path.exists(os.path.join(ckpt_dir(2, "tpu4"), "latest.txt")):
+        pytest.skip("no tpu4 x4 checkpoint")
+    fn = el.make_pretrained_upscaler(32, 64, 128, 256)
+    assert fn.arch == "tpu4", fn.arch
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.integers(0, 256, (32, 64, 4), np.uint8))
+    out = np.asarray(fn(img))
+    assert out.shape == (128, 256, 4) and out.dtype == np.uint8
+
+
 def test_performance_ladder_prefers_stride8():
     """make_fast_upscaler must serve a stride-8 arch when its checkpoint
     exists; make_pretrained_upscaler must stay on the quality-first ladder."""
