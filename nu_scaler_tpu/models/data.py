@@ -134,9 +134,9 @@ class PairPool:
         rng: np.random.Generator,
         scale: int = 2,
         crop: int = 96,
-        n_clips: int = 6,
+        n_clips: int = 12,  # 6 → 12: the 6-clip pool overfit past ~40k steps
         frames_per_clip: int = 6,
-        pool_size: int = 2048,
+        pool_size: int = 4096,
         seed0: int = 100,
     ):
         self.scale = scale
