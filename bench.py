@@ -175,6 +175,58 @@ def bench_pipeline(mode: str, iters: int, overhead_s: float) -> dict:
     raise ValueError(f"unknown bench mode {mode!r}")
 
 
+def bench_live(n_frames: int = 10, warmup: int = 3) -> dict:
+    """BASELINE config #4 — the consolidated LIVE pipeline number: synthetic
+    1080p source → blend interp → lanczos3 4K upscale (LivePipeline double
+    buffer) → presenter (TripleBuffer + adaptive skip), HOST-DELIVERED 4K
+    output frames (full D2H readback per frame — the honest end-to-end loop;
+    on this dev tunnel the 49 MB/s link is the known ceiling, BASELINE.md).
+
+    Returns sustained output fps + per-input-step p50/p99 wall ms + skips.
+    """
+    from nu_scaler.present import AdaptiveFrameStats, TripleBuffer
+    from nu_scaler_tpu.capture.sources import SyntheticSource
+    from nu_scaler_tpu.runtime.streaming import LivePipeline
+
+    src = SyntheticSource(IN_W, IN_H)
+    up = resample.make_resampler(IN_H, IN_W, OUT_H, OUT_W, "lanczos3")
+    interp = interp_ops.make_interpolator(OUT_H, OUT_W, "blend")
+    pipe = LivePipeline(up, lambda a, b, t: interp(a, b, t), depth=2, amortize_blend=True)
+    buf = TripleBuffer()
+    stats = AdaptiveFrameStats(target_fps=60.0, enable_frame_skipping=True)
+
+    for _ in range(warmup):  # compile + pipeline fill
+        for out in pipe.put(src.next_frame()):
+            buf.write(out)
+    skips = 0
+    steps: list[float] = []
+    pipe.frames_out = 0
+    t0 = time.perf_counter()
+    for _ in range(n_frames):
+        s0 = time.perf_counter()
+        outs = pipe.put(src.next_frame())  # capture → interp → upscale
+        for out in outs:  # present: host delivery + skip accounting
+            tick = time.perf_counter()
+            if stats.should_skip(tick - s0):
+                skips += 1
+                continue
+            buf.write(out)
+            latest = buf.read_latest()
+            assert latest is not None
+            stats.on_presented(upscale_time_ms=(time.perf_counter() - s0) * 1e3, now=tick)
+        steps.append((time.perf_counter() - s0) * 1000.0)
+    for out in pipe.drain():
+        buf.write(out)
+    total = time.perf_counter() - t0
+    return {
+        "fps": pipe.frames_out / total if total > 0 else 0.0,
+        "p50_step_ms": float(np.percentile(steps, 50)) if steps else 0.0,
+        "p99_step_ms": float(np.percentile(steps, 99)) if steps else 0.0,
+        "skipped": skips,
+        "output_frames": pipe.frames_out,
+    }
+
+
 def bench_upscale(algorithm: str, iters: int, overhead_s: float) -> float:
     up = resample.make_resampler(IN_H, IN_W, OUT_H, OUT_W, algorithm)
 
@@ -240,6 +292,17 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         res_perf = {"fps": 0.0}
         log(f"pipeline[hs-perf] failed: {e}")
+
+    try:
+        res_live = bench_live(n_frames=10 if dev.platform == "tpu" else 4)
+        log(
+            f"pipeline[live   ] {res_live['fps']:9.1f} out-fps host-delivered 4K "
+            f"(p50 {res_live['p50_step_ms']:.1f} / p99 {res_live['p99_step_ms']:.1f} ms/step, "
+            f"{res_live['skipped']} skipped) — capture→interp→upscale→present"
+        )
+    except Exception as e:  # noqa: BLE001
+        res_live = {"fps": 0.0, "p50_step_ms": 0.0, "p99_step_ms": 0.0, "skipped": 0}
+        log(f"pipeline[live] failed: {e}")
 
     extras = {}
     for algo in ("bilinear", "lanczos3", "bicubic"):
@@ -357,6 +420,9 @@ def main() -> None:
                 "flow_soft_fps": round(res_flow_soft["fps"], 1),
                 "flow_half_fps": round(res_flow_half["fps"], 1),
                 "perf_interp_fps": round(res_perf["fps"], 1),
+                "live_host_fps": round(res_live["fps"], 2),
+                "live_p50_step_ms": round(res_live["p50_step_ms"], 1),
+                "live_p99_step_ms": round(res_live["p99_step_ms"], 1),
                 "platform": dev.platform,
                 **extras,
             }

@@ -206,6 +206,9 @@ class PyAdvancedWgpuUpscaler(PyWgpuUpscaler):
     ):
         super().__init__(quality, algorithm)
         self._adaptive_quality = bool(adaptive_quality)
+        # the tier the USER asked for — adaptive pressure may degrade below
+        # it and later restore back up to it, never beyond
+        self._requested_quality = self._quality
         self._detector = DeviceDetector()
         self._detector.detect_gpus()
         self._device = self._detector.get_primary_device()
@@ -228,6 +231,7 @@ class PyAdvancedWgpuUpscaler(PyWgpuUpscaler):
         # replaces the dlss-sys/fsr3-sys role, served through
         # create_advanced_upscaler("ultra")) — used when a trained checkpoint
         # exists for this scale, falling back to the classical kernel
+        self._serving_tier = "classical"
         if self._quality == UpscalingQuality.ULTRA:
             try:
                 from nu_scaler_tpu.models import esrgan_lite
@@ -245,6 +249,7 @@ class PyAdvancedWgpuUpscaler(PyWgpuUpscaler):
                     self.output_height, self.output_width,
                 )
                 self._batch_polymorphic = False  # net body is single-frame
+                self._serving_tier = "learned"
             except Exception as e:  # noqa: BLE001
                 print(f"Warning: learned tier unavailable, classical kernel kept: {e}")
         # strategy by image size (lib.rs:437-456)
@@ -281,15 +286,26 @@ class PyAdvancedWgpuUpscaler(PyWgpuUpscaler):
             self._update_adaptive_quality()
         return out
 
+    _QUALITY_RANK = {
+        UpscalingQuality.ULTRA: 5,
+        UpscalingQuality.QUALITY: 4,
+        UpscalingQuality.BALANCED: 3,
+        UpscalingQuality.PERFORMANCE: 2,
+        UpscalingQuality.ULTRA_PERFORMANCE: 1,
+        UpscalingQuality.NATIVE: 0,
+    }
+
     def _update_adaptive_quality(self) -> None:
         """VRAM-pressure quality ladder (upscale/mod.rs:355-409): >85% usage
-        steps quality down one tier, <50% recommends stepping up.
+        steps quality down one tier, <50% steps back up.
 
         The reference computes the new tier but can only *recommend* it
-        (`needs_reinit`, never acted on). We keep that observable behavior for
-        the upward direction (`recommended_quality`), but actually apply the
-        downgrade under real pressure — graceful degradation is the point of
-        the feature (SURVEY §5 failure-handling)."""
+        (`needs_reinit`, never acted on). Here a tier change REBUILDS the
+        serving kernel, so a pressure-downgraded ULTRA instance actually swaps
+        the learned net for the cheaper classical kernel on the next
+        `upscale()` — graceful degradation is the point of the feature
+        (SURVEY §5 failure-handling). When pressure clears, the tier restores
+        back up toward (never beyond) the user-requested quality."""
         pct = self._pool.get_vram_stats().usage_percent
         down = {
             UpscalingQuality.ULTRA: UpscalingQuality.QUALITY,
@@ -302,13 +318,25 @@ class PyAdvancedWgpuUpscaler(PyWgpuUpscaler):
             UpscalingQuality.PERFORMANCE: UpscalingQuality.BALANCED,
             UpscalingQuality.ULTRA_PERFORMANCE: UpscalingQuality.PERFORMANCE,
         }
+        new_q = self._quality
         if pct > 85.0:
-            self._quality = down.get(self._quality, self._quality)
-            self.recommended_quality = self._quality
+            new_q = down.get(self._quality, self._quality)
         elif pct < 50.0:
-            self.recommended_quality = up.get(self._quality, self._quality)
-        else:
-            self.recommended_quality = self._quality
+            cand = up.get(self._quality, self._quality)
+            req = getattr(self, "_requested_quality", self._quality)
+            if self._QUALITY_RANK[cand] <= self._QUALITY_RANK[req]:
+                new_q = cand
+        self.recommended_quality = new_q
+        if new_q != self._quality:
+            self._quality = new_q
+            if self._initialized:
+                # rebuild the serving kernel for the new tier (learned ⇄
+                # classical swap); classical kernels come from the shared LRU
+                # so re-upgrades don't recompile
+                self.initialize(
+                    self.input_width, self.input_height,
+                    self.output_width, self.output_height,
+                )
 
     def get_vram_stats(self) -> PyVramStats:
         s = self._pool.get_vram_stats()
@@ -341,6 +369,12 @@ class PyAdvancedWgpuUpscaler(PyWgpuUpscaler):
     @quality.setter
     def quality(self, q: str) -> None:
         self._quality = UpscalingQuality.parse(q)
+        self._requested_quality = self._quality
+        if self._initialized:
+            self.initialize(
+                self.input_width, self.input_height,
+                self.output_width, self.output_height,
+            )
 
     def update_gpu_stats(self) -> None:
         self._pool.update_vram_usage(force=True)

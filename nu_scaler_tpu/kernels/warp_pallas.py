@@ -112,8 +112,8 @@ def _build(h: int, w: int):
         num_scalar_prefetch=7,
         grid=(ty, tx),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # frame A (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # frame B (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # frame A (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # frame B (HBM)
         ],
         out_specs=pl.BlockSpec(
             (TR, TC * LANES), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM

@@ -529,8 +529,9 @@ def _build_pretrained(in_h, in_w, out_h, out_w, dtype, stages, prefer):
                 continue  # s2d front end needs stride-divisible dims
             restored = load_checkpoint(stages, arch)
             if restored is not None:
-                # stride-8 serving uses the structured sparse base (bit-equal
-                # to the dense fixed conv, parameter-free — _sparse_base_terms);
+                # stride-8 serving uses the structured sparse base
+                # (numerically equivalent to the dense fixed conv, ≤1e-5 —
+                # checkpoint-interchangeable; _sparse_base_terms);
                 # at stride ≤4 the dense conv measured FASTER (the sparse
                 # path's tiny-dim scatter einsums cost more than the dense
                 # kernel's wasted zeros — tools/esrgan_arch_sweep.py)

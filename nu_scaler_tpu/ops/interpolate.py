@@ -856,17 +856,21 @@ def stage_timings_ms(
 
     # flow stage: perturb the next input from the flow field so the loop
     # body stays live (XLA would hoist a loop-invariant computation)
+    fast = mode in ("flow", "flow_soft")
+
     def flow_body(s):
         fa, fb = s
-        flow = compute_flow_fast(fa, fb) if mode == "flow" else compute_flow(fa, fb)
+        flow = compute_flow_fast(fa, fb) if fast else compute_flow(fa, fb)
         pert = (flow[..., :1] * 8.0).astype(jnp.int32).astype(jnp.uint8)
         return fb, fb + pert
 
     flow_ms = device_timer(flow_body, (a, b), iters=iters, overhead_s=overhead) * 1000.0
 
-    if mode == "flow":
+    if fast:
+        soft = mode == "flow_soft"
+
         def warp_fn(fa, fb, fl, t):
-            return warp_blend_fast(fa, fb, fl, t, tile=warp_tile)
+            return warp_blend_fast(fa, fb, fl, t, tile=warp_tile, overlap=soft)
     else:
         warp_fn = warp_blend
     flow0 = jnp.zeros((height, width, 2), jnp.float32)

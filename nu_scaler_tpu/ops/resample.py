@@ -246,55 +246,27 @@ def _banded_body(
 # ---------------------------------------------------------------------------
 
 
-def _nearest_body(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
-    """src = (dst * in) // out integer gather — pure u8, no float round trip
-    (NN_UPSCALE_SHADER, upscale/mod.rs:196-205)."""
-    in_h, in_w = img.shape[-3], img.shape[-2]
-    ys = (jnp.arange(out_h, dtype=jnp.int32) * in_h) // out_h
-    xs = (jnp.arange(out_w, dtype=jnp.int32) * in_w) // out_w
-    return jnp.take(jnp.take(img, ys, axis=-3), xs, axis=-2)
-
-
-def _bilinear_body(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
-    """WGSL bilinear semantics incl. mix() order and trunc packing
-    (BILINEAR_UPSCALE_SHADER, upscale/mod.rs:236-262)."""
-    in_h, in_w = img.shape[-3], img.shape[-2]
-    f = img.astype(jnp.float32) * (1.0 / 255.0)
-
-    fx = jnp.arange(out_w, dtype=jnp.float32) * (np.float32(in_w) / np.float32(out_w))
-    fy = jnp.arange(out_h, dtype=jnp.float32) * (np.float32(in_h) / np.float32(out_h))
-    x0 = fx.astype(jnp.int32)
-    y0 = fy.astype(jnp.int32)
-    x1 = jnp.minimum(x0 + 1, in_w - 1)
-    y1 = jnp.minimum(y0 + 1, in_h - 1)
-    dx = (fx - x0.astype(jnp.float32))[:, None]
-    dy = (fy - y0.astype(jnp.float32))[:, None, None]
-
-    r0 = jnp.take(f, y0, axis=-3)
-    r1 = jnp.take(f, y1, axis=-3)
-    c00 = jnp.take(r0, x0, axis=-2)
-    c10 = jnp.take(r0, x1, axis=-2)
-    c01 = jnp.take(r1, x0, axis=-2)
-    c11 = jnp.take(r1, x1, axis=-2)
-    c0 = c00 + dx * (c10 - c00)
-    c1 = c01 + dx * (c11 - c01)
-    c = c0 + dy * (c1 - c0)
-    return jnp.trunc(jnp.clip(c, 0.0, 1.0) * 255.0).astype(jnp.uint8)
-
-
-def _matrix_body(
-    img: jax.Array, wv: jax.Array, wh: jax.Array, precision=jax.lax.Precision.HIGHEST
+def _dense_body(
+    img: jax.Array, wv_np: np.ndarray, wh_np: np.ndarray, precision="split_bf16"
 ) -> jax.Array:
-    """Separable resample as two MXU contractions.
+    """Separable resample as two DENSE MXU contractions — the gather-free
+    fallback for non-tiling (awkward) scales, any algorithm.
 
     img [..., H, W, C] u8  →  [..., OH, OW, C] u8 (trunc packed).
 
-    precision=HIGHEST keeps full f32 accumulation on the MXU — the default
-    (single-pass bf16) costs ~2 dB and lands just under the 50 dB gate.
+    The dense [O, I] matrices waste FLOPs vs the banded form but stay on the
+    MXU — on this backend that beats any gather body by an order of magnitude
+    (jnp.take ≈ 8-20 ms/frame at 1080p, CLAUDE.md). Nearest's one-hot weights
+    keep it bit-exact (raw u8 values are bf16-exact and 1.0 splits exactly).
     """
+    if precision == "split_bf16":
+        f = img.astype(jnp.float32)  # raw 0..255 — bf16-exact
+        tmp = _banded_einsum("oi,...iwc->...owc", wv_np, f, precision)
+        out = _banded_einsum("pw,...owc->...opc", wh_np, tmp, precision)
+        return jnp.trunc(jnp.clip(out, 0.0, 255.0)).astype(jnp.uint8)
     f = img.astype(jnp.float32) * (1.0 / 255.0)
-    tmp = jnp.einsum("oi,...iwc->...owc", wv, f, precision=precision)
-    out = jnp.einsum("pw,...owc->...opc", wh, tmp, precision=precision)
+    tmp = _banded_einsum("oi,...iwc->...owc", wv_np, f, precision)
+    out = _banded_einsum("pw,...owc->...opc", wh_np, tmp, precision)
     return jnp.trunc(jnp.clip(out, 0.0, 1.0) * 255.0).astype(jnp.uint8)
 
 
@@ -372,15 +344,14 @@ def make_resampler(
                 return _xla(img)
         else:
             fn = xla_fn
-    elif algorithm == "nearest":
-        fn = functools.partial(_nearest_body, out_h=out_h, out_w=out_w)
-    elif algorithm == "bilinear":
-        fn = functools.partial(_bilinear_body, out_h=out_h, out_w=out_w)
-    else:  # irrational-ish scales or tiny axes: dense fallback
-        wv = jnp.asarray(_axis_weights(in_h, out_h, algorithm))
-        wh = jnp.asarray(_axis_weights(in_w, out_w, algorithm))
-        dense_prec = jax.lax.Precision.HIGHEST if prec == "split_bf16" else prec
-        fn = functools.partial(_matrix_body, wv=wv, wh=wh, precision=dense_prec)
+    else:
+        # awkward (non-tiling) scales or tiny axes: dense weight matrices for
+        # EVERY algorithm — nearest/bilinear included. No jnp.take/gather
+        # body exists on any resample path (VERDICT r2 #7; measured at
+        # tools/experiments/awkward_scale_bench.py).
+        wv = _axis_weights(in_h, out_h, algorithm)
+        wh = _axis_weights(in_w, out_w, algorithm)
+        fn = functools.partial(_dense_body, wv_np=wv, wh_np=wh, precision=prec)
 
     return jax.jit(fn)
 

@@ -87,7 +87,7 @@ def shard_spatial_resampler(
     output rows [k*OH/D, (k+1)*OH/D) from the replicated input. The vertical
     weight matrix is sharded by rows; the horizontal one is replicated.
     """
-    from jax.experimental.shard_map import shard_map
+    shard_map = jax.shard_map
 
     mesh = mesh_key
     algorithm = _resample.normalize_algorithm(algorithm)
@@ -136,20 +136,25 @@ def interpolate_batch_sharded(
     """Motion-compensated interpolation over a BATCH of frame pairs, data
     parallel across the mesh (the 30→60 fps batch-transcode shape): each chip
     runs the full gather-free flow+warp pipeline on its shard of pairs.
-    Collective-free, like `upscale_batch_sharded`.
+    Collective-free, like `upscale_batch_sharded`. Ragged batches are padded
+    to a mesh-size multiple and the result sliced back (same contract as
+    `upscale_batch_sharded`).
 
-    pairs_a/pairs_b: u8 [N, H, W, 4]; N must divide by the mesh size.
+    pairs_a/pairs_b: u8 [N, H, W, 4].
     mode: "blend" | "flow" | "flow_soft" (the overlapped-tile warp).
     """
-    from jax.experimental.shard_map import shard_map
+    shard_map = jax.shard_map
 
     from nu_scaler_tpu.ops import interpolate as _interp
 
     if mesh is None:
         mesh = make_mesh()
     n = pairs_a.shape[0]
-    if n % mesh.devices.size:
-        raise ValueError(f"batch {n} not divisible by mesh size {mesh.devices.size}")
+    size = mesh.devices.size
+    pad = (-n) % size
+    if pad:
+        pairs_a = np.concatenate([pairs_a, np.repeat(pairs_a[-1:], pad, axis=0)])
+        pairs_b = np.concatenate([pairs_b, np.repeat(pairs_b[-1:], pad, axis=0)])
 
     def one(a, b):
         if mode == "blend":
@@ -158,12 +163,17 @@ def interpolate_batch_sharded(
         return _interp.warp_blend_fast(a, b, flow, time_t, overlap=mode == "flow_soft")
 
     def body(a_shard, b_shard):
-        return jax.vmap(one)(a_shard, b_shard)
+        # lax.map (not vmap) so each frame keeps the single-frame gather-free
+        # program: vmap would batch the data-dependent top_k candidate offsets
+        # and turn the warp's dynamic_slice slab extraction into XLA gathers
+        # (8-20 ms/frame on this backend — CLAUDE.md).
+        return jax.lax.map(lambda ab: one(ab[0], ab[1]), (a_shard, b_shard))
 
     sharded = shard_map(
         body, mesh=mesh, in_specs=(P("batch"), P("batch")), out_specs=P("batch")
     )
-    return jax.jit(sharded)(jnp.asarray(pairs_a), jnp.asarray(pairs_b))
+    out = jax.jit(sharded)(jnp.asarray(pairs_a), jnp.asarray(pairs_b))
+    return out[:n] if pad else out
 
 
 def fsr_batch_sharded(
@@ -175,17 +185,20 @@ def fsr_batch_sharded(
 ) -> jax.Array:
     """FSR (EASU+RCAS) over a batch of frames, data parallel across the mesh
     — each chip runs the fused phase pipeline on its shard. Collective-free.
+    Ragged batches are padded to a mesh-size multiple and sliced back.
 
-    frames: u8 [N, H, W, 4]; N must divide by the mesh size."""
-    from jax.experimental.shard_map import shard_map
+    frames: u8 [N, H, W, 4]."""
+    shard_map = jax.shard_map
 
     from nu_scaler_tpu.ops import fsr as _fsr
 
     if mesh is None:
         mesh = make_mesh()
     n, in_h, in_w = frames.shape[0], frames.shape[1], frames.shape[2]
-    if n % mesh.devices.size:
-        raise ValueError(f"batch {n} not divisible by mesh size {mesh.devices.size}")
+    size = mesh.devices.size
+    pad = (-n) % size
+    if pad:
+        frames = np.concatenate([frames, np.repeat(frames[-1:], pad, axis=0)])
     fn = _fsr.make_fsr_upscaler(in_h, in_w, out_h, out_w, quality)
     # sequential map of the single-frame program per shard (the measured-best
     # batch strategy for FSR — see ops/fsr._fused_phase_pipeline)
@@ -195,7 +208,51 @@ def fsr_batch_sharded(
         in_specs=(P("batch"),),
         out_specs=P("batch"),
     )
-    return jax.jit(sharded)(jnp.asarray(frames))
+    out = jax.jit(sharded)(jnp.asarray(frames))
+    return out[:n] if pad else out
+
+
+@functools.lru_cache(maxsize=16)
+def _spatial_interp_fn(mesh_key, mode: str, levels: int, axis: str):
+    from nu_scaler_tpu.ops import interpolate as _interp
+
+    mesh = mesh_key
+    sh = NamedSharding(mesh, P(axis, None, None))
+
+    def fn(a, b, t):
+        if mode == "blend":
+            return _interp.blend_only(a, b, t)
+        flow = _interp.compute_flow_fast(a, b, levels=levels)
+        return _interp.warp_blend_fast(a, b, flow, t, overlap=mode == "flow_soft")
+
+    return jax.jit(fn, in_shardings=(sh, sh, None), out_shardings=sh)
+
+
+def interpolate_frame_spatial(
+    frame_a,
+    frame_b,
+    time_t: float = 0.5,
+    mode: str = "flow",
+    mesh: Mesh | None = None,
+    levels: int = 2,
+    axis: str = "batch",
+) -> jax.Array:
+    """ONE frame pair's MC interpolation with the frame sharded spatially
+    (sp): input/output rows split over the mesh so a single frame's latency
+    can use the whole slice. Like `esrgan_infer_spatial`, the sharding is
+    expressed as jit in/out annotations and XLA's SPMD partitioner inserts
+    the halo exchanges over ICI for the pyramid / Horn–Schunck stencils and
+    the warp's candidate slabs — no manual ppermute.
+
+    frame_a/frame_b: u8 [H, W, 4]. mode: "blend" | "flow" | "flow_soft".
+    """
+    if mesh is None:
+        mesh = make_mesh(axis=axis)
+    fn = _spatial_interp_fn(mesh, mode, levels, axis)
+    sh = NamedSharding(mesh, P(axis, None, None))
+    a = jax.device_put(jnp.asarray(frame_a, jnp.uint8), sh)
+    b = jax.device_put(jnp.asarray(frame_b, jnp.uint8), sh)
+    return fn(a, b, float(time_t))
 
 
 def esrgan_infer_spatial(model, params, x, mesh: Mesh | None = None, axis: str = "batch"):

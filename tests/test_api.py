@@ -267,6 +267,79 @@ def test_interpolator_flow_stage_timings():
     assert d["total_ms"] > 0 and d["flow_ms"] > 0 and d["warp_ms"] > 0
 
 
+def test_flow_soft_stage_timings_time_the_soft_pipeline(monkeypatch):
+    """VERDICT r2 #3: stage_timings_ms('flow_soft') must time the fast flow
+    + overlapped soft warp (the pipeline flow_soft actually runs), not the
+    exact per-pixel path. The exact-path entry points are poisoned, so any
+    regression to them raises; the stage sum must also land in the same
+    ballpark as the calibrated total (they previously couldn't: the exact
+    flow alone dwarfs the soft pipeline)."""
+    from nu_scaler_tpu.ops import interpolate as interp_ops
+
+    def _boom(*a, **k):  # pragma: no cover - only fires on regression
+        raise AssertionError("flow_soft stage timing used the exact path")
+
+    monkeypatch.setattr(interp_ops, "compute_flow", _boom)
+    monkeypatch.setattr(interp_ops, "warp_blend", _boom)
+    d = interp_ops.stage_timings_ms.__wrapped__(
+        16, 32, "flow_soft", interp_ops.WARP_TILE, 3
+    )
+    assert d["flow_ms"] > 0 and d["warp_ms"] > 0
+    total = interp_ops.calibrated_step_ms(16, 32, "flow_soft", iters=3)
+    ratio = (d["flow_ms"] + d["warp_ms"]) / total
+    assert 0.2 < ratio < 5.0, f"stage sum {ratio:.2f}x off the total"
+
+
+def test_adaptive_downgrade_swaps_serving_tier(pattern, monkeypatch):
+    """VERDICT r2 #6: pressure-triggered tier change must rebuild the serving
+    kernel — a downgraded ULTRA instance swaps learned → classical on the
+    next upscale(), and upgrades back (never beyond the requested tier) when
+    pressure clears."""
+    import types
+
+    up = nsc.create_advanced_upscaler("ultra")
+    up.initialize(32, 32, 64, 64)
+    assert up._serving_tier == "learned"
+    learned_fn = up._fn
+
+    fake = types.SimpleNamespace(
+        usage_percent=95.0, total_mb=100.0, used_mb=95.0, free_mb=5.0,
+        app_allocated_mb=0.0,
+    )
+    monkeypatch.setattr(up._pool, "get_vram_stats", lambda: fake)
+    up.upscale(pattern(32, 32).tobytes())
+    assert up.get_quality_str() == "quality"
+    assert up._serving_tier == "classical"
+    assert up._fn is not learned_fn
+    # the next dispatch runs the cheap tier
+    out = up.upscale(pattern(32, 32).tobytes())
+    assert len(out) == 64 * 64 * 4
+    assert up.get_quality_str() == "balanced"  # still under pressure: one more step
+
+    fake.usage_percent = 30.0
+    fake.used_mb = 30.0
+    up.upscale(pattern(32, 32).tobytes())  # balanced -> quality
+    up.upscale(pattern(32, 32).tobytes())  # quality -> ultra (the requested tier)
+    assert up.get_quality_str() == "ultra"
+    assert up._serving_tier == "learned"
+    up.upscale(pattern(32, 32).tobytes())
+    assert up.get_quality_str() == "ultra"  # never beyond the requested tier
+
+
+def test_adaptive_upgrade_capped_at_requested(pattern, monkeypatch):
+    import types
+
+    up = nsc.PyAdvancedWgpuUpscaler("balanced", "bilinear", True)
+    up.initialize(16, 16, 32, 32)
+    fake = types.SimpleNamespace(
+        usage_percent=20.0, total_mb=100.0, used_mb=20.0, free_mb=80.0,
+        app_allocated_mb=0.0,
+    )
+    monkeypatch.setattr(up._pool, "get_vram_stats", lambda: fake)
+    up.upscale(pattern(16, 16).tobytes())
+    assert up.get_quality_str() == "balanced"  # low pressure, but already at request
+
+
 def test_workgroup_preset_wired_to_warp_tile():
     """VERDICT r1 missing #5: the preset must actually affect the compiled
     flow pipeline (it maps to the warp pass's block shape)."""

@@ -73,11 +73,47 @@ def test_fsr_batch_sharded_matches_single(rng):
     )
 
 
-def test_interpolate_batch_sharded_rejects_ragged(rng):
+def test_interpolate_batch_sharded_pads_ragged(rng):
+    """Ragged batches pad to a mesh multiple and slice back — the same
+    contract as upscale_batch_sharded (ADVICE r2)."""
     m = pmesh.make_mesh()
     pa = rng.integers(0, 256, (5, 16, 32, 4), np.uint8)
-    with pytest.raises(ValueError):
-        pmesh.interpolate_batch_sharded(pa, pa, 0.5, "flow", m)
+    out = np.asarray(pmesh.interpolate_batch_sharded(pa, pa, 0.5, "blend", m))
+    assert out.shape == (5, 16, 32, 4)
+    np.testing.assert_array_equal(out, pa)  # blend(a, a, t) == a
+
+
+def test_fsr_batch_sharded_pads_ragged(rng):
+    m = pmesh.make_mesh()
+    frames = rng.integers(0, 256, (3, 16, 24, 4), np.uint8)
+    out = np.asarray(pmesh.fsr_batch_sharded(frames, 32, 48, "quality", m))
+    assert out.shape == (3, 32, 48, 4)
+
+
+def test_interpolate_frame_spatial_matches_single(rng):
+    """sp MC-interpolation (VERDICT r2 #9): ONE pair's rows sharded over the
+    mesh; XLA inserts the stencil/warp halo collectives. Must match the
+    single-device program."""
+    from nu_scaler_tpu.ops import interpolate as I
+    import jax.numpy as jnp
+
+    m = pmesh.make_mesh()
+    a = rng.integers(0, 256, (64, 64, 4), np.uint8)
+    b = np.roll(a, 3, axis=1)
+    for mode in ("blend", "flow", "flow_soft"):
+        out = np.asarray(pmesh.interpolate_frame_spatial(a, b, 0.5, mode, m, levels=2))
+        assert out.shape == (64, 64, 4)
+        if mode == "blend":
+            ref = np.asarray(I.blend_only(jnp.asarray(a), jnp.asarray(b), 0.5))
+        else:
+            flow = I.compute_flow_fast(jnp.asarray(a), jnp.asarray(b), levels=2)
+            ref = np.asarray(
+                I.warp_blend_fast(
+                    jnp.asarray(a), jnp.asarray(b), flow, 0.5,
+                    overlap=mode == "flow_soft",
+                )
+            )
+        np.testing.assert_allclose(out.astype(int), ref.astype(int), atol=2)
 
 
 @pytest.mark.parametrize("algo", ["bilinear", "lanczos3"])

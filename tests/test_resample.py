@@ -1,6 +1,7 @@
 """Resample kernels vs numpy goldens (PSNR gate from BASELINE.json: >= 50 dB;
 nearest must be exact)."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -108,3 +109,26 @@ def test_error_metrics_parity():
     a2 = a.copy()
     a2[..., 3] = 77
     assert ErrorMetrics.calculate(a2, a).mse == 0.0
+
+
+def test_awkward_scale_dense_fallback_gather_free(rng):
+    """VERDICT r2 #7: non-tiling (awkward) scales must NOT fall back to
+    jnp.take gather bodies (8-20 ms/frame on this TPU backend). Every
+    algorithm routes through the dense weight-matrix MXU path and still
+    passes its golden gate (nearest bit-exact)."""
+    img = rng.integers(0, 256, (37, 53, 4), np.uint8)
+    for algo in resample.ALGORITHMS:
+        fn = resample.make_resampler(37, 53, 91, 131, algo)
+        out = np.asarray(fn(img))
+        assert out.shape == (91, 131, 4)
+        if algo == "nearest":
+            np.testing.assert_array_equal(out, ref.nearest_ref(img, 91, 131))
+        elif algo == "bilinear":
+            assert psnr(out, ref.bilinear_ref(img, 91, 131)) >= 50.0
+        else:
+            assert psnr(out, ref.separable_resample_ref(img, 91, 131, algo)) >= 50.0
+    # the jitted HLO must contain no gather op at all
+    lowered = jax.jit(
+        resample.make_resampler.__wrapped__(37, 53, 91, 131, "bilinear")
+    ).lower(img).as_text()
+    assert "gather" not in lowered, "awkward-scale resample still lowers a gather"
