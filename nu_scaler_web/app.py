@@ -1,0 +1,365 @@
+"""WSGI application — the Laravel router/controller role of the reference's
+@web API (`@web/server/laravel_app/routes/api.php`). Endpoints are the
+engine-relevant subset, with Laravel-style response shapes (201 + message,
+422 validation errors keyed by field). Dependency-free: serve with wsgiref
+(`python -m nu_scaler_web`) or mount under any WSGI server.
+
+Route map (reference file:line in handlers):
+  POST /api/v1/auth/register            AuthController.register
+  POST /api/v1/login                    AuthController.login
+  POST /api/v1/logout            [auth] AuthController.logout
+  GET  /api/v1/user              [auth]
+  GET  /api/v1/download          [auth] DownloadController.getDownloadLink
+  GET  /api/v1/download/public          DownloadController.getPublicDownloadLink
+  GET  /api/v1/download/file/{platform} DownloadController.downloadFile
+  GET  /api/v1/feedback/stats           FeedbackController.publicStats
+  POST /api/v1/feedback/reviews         FeedbackController.storeReview
+  POST /api/v1/feedback/bug-reports     FeedbackController.storeBugReport
+  POST /api/v1/feedback/hardware-surveys FeedbackController.storeHardwareSurvey
+  POST /api/v1/benchmarks               (engine tie-in: bench.py JSON line)
+  GET  /api/admin/metrics/dashboard [admin] AdminMetricsController.dashboard
+  GET  /api/admin/{reviews,bug-reports,hardware-surveys,benchmarks} [admin]
+  GET  /api/admin/users          [admin] UserManagementController.index
+  PATCH /api/admin/users/{id}/role [admin] UserManagementController.updateRole
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Callable, Optional
+
+from nu_scaler_web.store import Store
+
+VERSION = "0.3.0"
+PLATFORMS = ("windows", "linux", "macos")
+
+_STATUS = {
+    200: "200 OK", 201: "201 Created", 204: "204 No Content",
+    400: "400 Bad Request", 401: "401 Unauthorized", 403: "403 Forbidden",
+    404: "404 Not Found", 405: "405 Method Not Allowed",
+    422: "422 Unprocessable Entity",
+}
+
+
+class _Http(Exception):
+    def __init__(self, status: int, body: dict):
+        self.status, self.body = status, body
+
+
+def _require(d: dict, field: str, typ, *, max_len: int = 0, choices=None,
+             lo=None, hi=None, required: bool = True):
+    """Laravel-rule style validation (app/Http/Requests/*.php); raises 422
+    with {errors: {field: [msg]}} on the first violation, like their
+    FormRequest failedValidation hook."""
+    v = d.get(field)
+    if v is None:
+        if required:
+            raise _Http(422, {"message": "Validation failed",
+                              "errors": {field: [f"The {field} field is required."]}})
+        return None
+    if typ is int and isinstance(v, bool):
+        v = int(v)
+    if not isinstance(v, typ):
+        if typ is int and isinstance(v, str) and v.lstrip("-").isdigit():
+            v = int(v)
+        else:
+            tname = getattr(typ, "__name__", "a number")
+            raise _Http(422, {"message": "Validation failed",
+                              "errors": {field: [f"The {field} field must be {tname}."]}})
+    if max_len and isinstance(v, str) and len(v) > max_len:
+        raise _Http(422, {"message": "Validation failed",
+                          "errors": {field: [f"The {field} may not be greater than {max_len} characters."]}})
+    if choices is not None and v not in choices:
+        raise _Http(422, {"message": "Validation failed",
+                          "errors": {field: [f"The selected {field} is invalid."]}})
+    if lo is not None and v < lo or hi is not None and v > hi:
+        raise _Http(422, {"message": "Validation failed",
+                          "errors": {field: [f"The {field} must be between {lo} and {hi}."]}})
+    return v
+
+
+class WebApp:
+    """The WSGI callable. One instance per Store."""
+
+    def __init__(self, store: Optional[Store] = None, wheel_dir: str = "dist"):
+        self.store = store or Store()
+        self.wheel_dir = wheel_dir
+        # method, compiled path regex, handler, auth: None|'user'|'admin'
+        self.routes: list[tuple[str, re.Pattern, Callable, Optional[str]]] = [
+            ("POST", r"/api/v1/auth/register", self.register, None),
+            ("POST", r"/api/v1/login", self.login, None),
+            ("POST", r"/api/v1/logout", self.logout, "user"),
+            ("GET", r"/api/v1/user", self.user_info, "user"),
+            ("GET", r"/api/v1/download", self.download_link, "user"),
+            ("GET", r"/api/v1/download/public", self.download_public, None),
+            ("GET", r"/api/v1/download/file/(?P<platform>[a-z0-9]+)", self.download_file, None),
+            ("GET", r"/api/v1/feedback/stats", self.public_stats, None),
+            ("POST", r"/api/v1/feedback/reviews", self.store_review, None),
+            ("POST", r"/api/v1/feedback/bug-reports", self.store_bug_report, None),
+            ("POST", r"/api/v1/feedback/hardware-surveys", self.store_hardware_survey, None),
+            ("POST", r"/api/v1/benchmarks", self.store_benchmark, None),
+            ("GET", r"/api/admin/metrics/dashboard", self.admin_dashboard, "admin"),
+            ("GET", r"/api/admin/reviews", lambda req, **kw: self._admin_list("reviews"), "admin"),
+            ("GET", r"/api/admin/bug-reports", lambda req, **kw: self._admin_list("bug_reports"), "admin"),
+            ("GET", r"/api/admin/hardware-surveys", lambda req, **kw: self._admin_list("hardware_surveys"), "admin"),
+            ("GET", r"/api/admin/benchmarks", lambda req, **kw: self._admin_list("benchmark_reports"), "admin"),
+            ("GET", r"/api/admin/users", self.admin_users, "admin"),
+            ("PATCH", r"/api/admin/users/(?P<uid>\d+)/role", self.admin_set_role, "admin"),
+        ]
+        self._compiled = [
+            (m, re.compile(f"^{p}$"), h, a) for (m, p, h, a) in self.routes
+        ]
+
+    # -- WSGI ---------------------------------------------------------------
+
+    def __call__(self, environ, start_response):
+        method = environ.get("REQUEST_METHOD", "GET")
+        path = environ.get("PATH_INFO", "/")
+        try:
+            body = self._read_json(environ)
+            req = {
+                "body": body,
+                "user": self._auth_user(environ),
+                "environ": environ,
+            }
+            matched_path = False
+            for m, pat, handler, auth in self._compiled:
+                mt = pat.match(path)
+                if not mt:
+                    continue
+                matched_path = True
+                if m != method:
+                    continue
+                if auth is not None:
+                    if req["user"] is None:
+                        raise _Http(401, {"message": "Unauthenticated."})
+                    if auth == "admin" and req["user"]["role"] != "admin":
+                        raise _Http(403, {"message": "Forbidden."})
+                status, payload = handler(req, **mt.groupdict())
+                return self._respond(start_response, status, payload)
+            if matched_path:
+                raise _Http(405, {"message": "Method Not Allowed"})
+            raise _Http(404, {"message": "Not Found"})
+        except _Http as e:
+            return self._respond(start_response, e.status, e.body)
+
+    @staticmethod
+    def _read_json(environ) -> dict:
+        try:
+            n = int(environ.get("CONTENT_LENGTH") or 0)
+        except ValueError:
+            n = 0
+        if n == 0:
+            return {}
+        raw = environ["wsgi.input"].read(n)
+        try:
+            d = json.loads(raw)
+        except (ValueError, UnicodeDecodeError):
+            raise _Http(400, {"message": "Malformed JSON body"})
+        if not isinstance(d, dict):
+            raise _Http(400, {"message": "JSON body must be an object"})
+        return d
+
+    def _auth_user(self, environ) -> Optional[dict]:
+        hdr = environ.get("HTTP_AUTHORIZATION", "")
+        if hdr.startswith("Bearer "):
+            return self.store.user_for_token(hdr[7:].strip())
+        return None
+
+    @staticmethod
+    def _respond(start_response, status: int, payload: dict):
+        data = json.dumps(payload).encode()
+        start_response(
+            _STATUS[status],
+            [("Content-Type", "application/json"),
+             ("Content-Length", str(len(data)))],
+        )
+        return [data]
+
+    @staticmethod
+    def _public_user(u: dict) -> dict:
+        return {"id": u["id"], "name": u["name"], "email": u["email"], "role": u["role"]}
+
+    # -- auth (AuthController.php) ------------------------------------------
+
+    def register(self, req, **kw):
+        d = req["body"]
+        name = _require(d, "name", str, max_len=255)
+        email = _require(d, "email", str, max_len=255)
+        if "@" not in email:
+            raise _Http(422, {"message": "Validation failed",
+                              "errors": {"email": ["The email must be a valid email address."]}})
+        password = _require(d, "password", str)
+        if len(password) < 8:
+            raise _Http(422, {"message": "Validation failed",
+                              "errors": {"password": ["The password must be at least 8 characters."]}})
+        user = self.store.create_user(name, email, password)
+        if user is None:
+            raise _Http(422, {"message": "Validation failed",
+                              "errors": {"email": ["The email has already been taken."]}})
+        token = self.store.issue_token(user["id"])
+        return 201, {"message": "Registration successful",
+                     "user": self._public_user(user), "token": token}
+
+    def login(self, req, **kw):
+        d = req["body"]
+        email = _require(d, "email", str)
+        password = _require(d, "password", str)
+        user = self.store.verify_login(email, password)
+        if user is None:
+            raise _Http(401, {"message": "Invalid credentials"})
+        return 200, {"message": "Login successful",
+                     "user": self._public_user(user),
+                     "token": self.store.issue_token(user["id"])}
+
+    def logout(self, req, **kw):
+        hdr = req["environ"].get("HTTP_AUTHORIZATION", "")
+        self.store.revoke_token(hdr[7:].strip())
+        return 200, {"message": "Logged out"}
+
+    def user_info(self, req, **kw):
+        return 200, {"data": self._public_user(req["user"])}
+
+    # -- download (DownloadController.php) ----------------------------------
+
+    def _link(self, platform: str) -> dict:
+        return {
+            "version": VERSION,
+            "platform": platform,
+            "url": f"/api/v1/download/file/{platform}",
+            "filename": f"nu_scaler_tpu-{VERSION}-{platform}.whl",
+        }
+
+    def download_link(self, req, **kw):
+        return 200, {"data": self._link("linux")}
+
+    def download_public(self, req, **kw):
+        return 200, {"data": [self._link(p) for p in PLATFORMS]}
+
+    def download_file(self, req, platform: str = "", **kw):
+        if platform not in PLATFORMS:
+            raise _Http(404, {"message": f"Unknown platform {platform!r}"})
+        uid = req["user"]["id"] if req["user"] else None
+        self.store.log_download(platform, uid)
+        # metadata response (the artifact itself ships from the wheel build —
+        # tools/build_executable.py / pip wheel; this logs + points at it)
+        return 200, {"message": "Download recorded", "data": self._link(platform)}
+
+    # -- feedback (FeedbackController.php; rules from Http/Requests) --------
+
+    def store_review(self, req, **kw):
+        d = req["body"]
+        out = {
+            "rating": _require(d, "rating", int, lo=1, hi=5),
+            "comment": _require(d, "comment", str, max_len=1000),
+            "name": _require(d, "name", str, max_len=255, required=False),
+            "email": _require(d, "email", str, max_len=255, required=False),
+        }
+        row = self.store.add_review(out, req["user"]["id"] if req["user"] else None)
+        return 201, {"message": "Review submitted successfully", "data": row}
+
+    def store_bug_report(self, req, **kw):
+        d = req["body"]
+        out = {
+            "description": _require(d, "description", str, max_len=2000),
+            "category": _require(d, "category", str,
+                                 choices=("ui", "performance", "feature", "crash", "other")),
+            "severity": _require(d, "severity", str,
+                                 choices=("low", "medium", "high", "critical")),
+            "steps_to_reproduce": _require(d, "steps_to_reproduce", str,
+                                           max_len=2000, required=False),
+            "system_info": _require(d, "system_info", dict),
+        }
+        _require(out["system_info"], "os", str, max_len=255)
+        _require(out["system_info"], "app_version", str, max_len=50)
+        row = self.store.add_bug_report(out, req["user"]["id"] if req["user"] else None)
+        return 201, {"message": "Bug report submitted successfully", "data": row}
+
+    def store_hardware_survey(self, req, **kw):
+        d = req["body"]
+        out = {
+            "cpu_model": _require(d, "cpu_model", str, max_len=255),
+            "gpu_model": _require(d, "gpu_model", str, max_len=255),
+            "ram_size": _require(d, "ram_size", int, lo=1, hi=10**6),
+            "os": _require(d, "os", str, max_len=255),
+            "resolution": _require(d, "resolution", str, max_len=50),
+            "monitor_refresh_rate": _require(d, "monitor_refresh_rate", int,
+                                             lo=1, hi=360, required=False),
+            "additional_info": _require(d, "additional_info", str,
+                                        max_len=1000, required=False),
+        }
+        row = self.store.add_hardware_survey(out, req["user"]["id"] if req["user"] else None)
+        return 201, {"message": "Hardware survey submitted successfully", "data": row}
+
+    def store_benchmark(self, req, **kw):
+        """Engine tie-in: ingest the one-line JSON object bench.py prints
+        (metric/value/unit/vs_baseline + extras)."""
+        d = req["body"]
+        out = dict(d)
+        out["metric"] = _require(d, "metric", str, max_len=255)
+        out["value"] = float(_require(d, "value", (int, float)))
+        out["unit"] = _require(d, "unit", str, max_len=50)
+        row = self.store.add_benchmark_report(out, req["user"]["id"] if req["user"] else None)
+        return 201, {"message": "Benchmark report submitted successfully", "data": row}
+
+    # -- stats / admin (AdminMetricsController.php:41-70) -------------------
+
+    def public_stats(self, req, **kw):
+        s = self.store
+        n = s.count("reviews")
+        return 200, {"data": {
+            "reviews": n,
+            "average_rating": round(s.scalar("SELECT AVG(rating) FROM reviews") or 0.0, 2),
+            "downloads": s.count("download_logs"),
+        }}
+
+    def admin_dashboard(self, req, **kw):
+        s = self.store
+        fps = [
+            r["value"] for r in s.rows("benchmark_reports", limit=1000)
+            if r["unit"] == "fps"
+        ]
+        fps.sort()
+        mid = len(fps) // 2
+        return 200, {"data": {
+            "users": {"total": s.count("users")},
+            "reviews": {
+                "total": s.count("reviews"),
+                "average_rating": round(s.scalar("SELECT AVG(rating) FROM reviews") or 0.0, 2),
+            },
+            "bug_reports": {
+                "total": s.count("bug_reports"),
+                "by_severity": s.grouped("bug_reports", "severity"),
+            },
+            "hardware_surveys": {"total": s.count("hardware_surveys")},
+            "downloads": {
+                "total": s.count("download_logs"),
+                "by_platform": s.grouped("download_logs", "platform"),
+            },
+            "benchmarks": {
+                "total": s.count("benchmark_reports"),
+                "median_fps": fps[mid] if fps else None,
+                "best_fps": fps[-1] if fps else None,
+            },
+        }}
+
+    def _admin_list(self, table: str):
+        rows = self.store.rows(table)
+        for r in rows:
+            for k in ("system_info", "payload"):
+                if isinstance(r.get(k), str):
+                    r[k] = json.loads(r[k])
+        return 200, {"data": rows}
+
+    def admin_users(self, req, **kw):
+        return 200, {"data": [self._public_user(u) for u in self.store.rows("users")]}
+
+    def admin_set_role(self, req, uid: str = "", **kw):
+        role = _require(req["body"], "role", str, choices=("user", "admin"))
+        user = self.store.user_by_id(int(uid))
+        if user is None:
+            raise _Http(404, {"message": "User not found"})
+        self.store.set_role(int(uid), role)
+        return 200, {"message": "Role updated",
+                     "data": self._public_user(self.store.user_by_id(int(uid)))}
