@@ -636,7 +636,7 @@ def block_warp(
 
 def warp_blend_fast(
     frame_a: jax.Array, frame_b: jax.Array, flow: jax.Array, time_t,
-    tile: tuple = WARP_TILE, overlap: bool = False,
+    tile: tuple = WARP_TILE, overlap: bool = False, pallas_ok: bool = True,
 ) -> jax.Array:
     """Block-motion-compensated mix(a, b, t); gather-free production version
     of warp_blend (u8 in/out). Planar internals, one relayout each way.
@@ -645,6 +645,25 @@ def warp_blend_fast(
     alpha semantics, the capture path delivers alpha ≡ 255, and dropping
     the 4th plane cuts warp traffic 25%)."""
     t = jnp.asarray(time_t, jnp.float32)
+    h0, w0 = frame_a.shape[0], frame_a.shape[1]
+    if (
+        overlap
+        and pallas_ok
+        and frame_a.shape[-1] == 4
+        and h0 % tile[0] == 0
+        and w0 % tile[1] == 0
+        and h0 >= 2 * tile[0]
+        and w0 >= 2 * tile[1]
+    ):
+        # Pallas cell-grid soft warp: ≤4 corner slab DMAs per frame per cell
+        # with VMEM accumulation — replaces the K=8 full-image bf16 HBM
+        # accumulator chains (the measured 2.5 ms flow_soft overhead) and
+        # needs no planar relayout (kernels/soft_warp_pallas.py). Alpha is
+        # motion-compensated there rather than cross-faded (identical for
+        # the α≡255 capture frames).
+        from nu_scaler_tpu.kernels.soft_warp_pallas import soft_warp_blend
+
+        return soft_warp_blend(frame_a, frame_b, flow, t, tile=tile, rng=WARP_RANGE)
     # one full 4-channel relayout each (planar-side slicing is free; a
     # channel-minor [..., :3] slice before the transpose measured slower)
     a4 = frame_a.astype(jnp.float32).transpose(2, 0, 1)

@@ -223,7 +223,12 @@ def _spatial_interp_fn(mesh_key, mode: str, levels: int, axis: str):
         if mode == "blend":
             return _interp.blend_only(a, b, t)
         flow = _interp.compute_flow_fast(a, b, levels=levels)
-        return _interp.warp_blend_fast(a, b, flow, t, overlap=mode == "flow_soft")
+        # pallas_ok=False: a pallas_call is opaque to the SPMD partitioner —
+        # it would force a full gather and defeat the row sharding; the XLA
+        # soft path partitions cleanly (halos from the sharding annotations)
+        return _interp.warp_blend_fast(
+            a, b, flow, t, overlap=mode == "flow_soft", pallas_ok=False
+        )
 
     return jax.jit(fn, in_shardings=(sh, sh, None), out_shardings=sh)
 
