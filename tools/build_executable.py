@@ -21,6 +21,11 @@ def main(argv=None) -> int:
     p.add_argument("--entry", default="nu_scaler/headless.py")
     p.add_argument("--name", default="nu-scaler")
     p.add_argument("--windowed", action="store_true", help="GUI build (no console)")
+    p.add_argument(
+        "--spec", action="store_true",
+        help="build from nuscaler.spec (the full windowed app bundle) instead "
+        "of the ad-hoc flag set",
+    )
     args = p.parse_args(argv)
 
     if shutil.which("pyinstaller") is None:
@@ -30,6 +35,11 @@ def main(argv=None) -> int:
             file=sys.stderr,
         )
         return 2
+
+    if args.spec:
+        cmd = ["pyinstaller", "nuscaler.spec"]
+        print(" ".join(cmd))
+        return subprocess.call(cmd)
 
     cmd = [
         "pyinstaller",
