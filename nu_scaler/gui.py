@@ -24,6 +24,7 @@ def build_app(model: MainWindowModel | None = None):
         QApplication,
         QCheckBox,
         QComboBox,
+        QDialog,
         QDoubleSpinBox,
         QFileDialog,
         QFormLayout,
@@ -130,6 +131,132 @@ def build_app(model: MainWindowModel | None = None):
             save = QPushButton("Save profile")
             save.clicked.connect(lambda: s.save_profile())
             form.addRow(save)
+
+    class PreviewPane(QLabel):
+        """Drag-drop/file-open preview pane (modern_gui.py:553-1020)."""
+
+        def __init__(self, title, on_path):
+            super().__init__(f"{title}\n(drop an image here)")
+            self.setAcceptDrops(True)
+            self.setMinimumSize(320, 240)
+            self.setAlignment(Qt.AlignCenter)
+            self._on_path = on_path
+
+        def dragEnterEvent(self, event):  # noqa: N802 — Qt naming
+            if event.mimeData().hasUrls():
+                event.acceptProposedAction()
+
+        def dropEvent(self, event):  # noqa: N802
+            urls = event.mimeData().urls()
+            if urls:
+                self._on_path(urls[0].toLocalFile())
+                event.acceptProposedAction()
+
+        def show_frame(self, frame):
+            if frame is None:
+                return
+            data, w, h = frame
+            img = QImage(data, w, h, w * 4, QImage.Format_RGBA8888)
+            self.setPixmap(
+                QPixmap.fromImage(img).scaled(
+                    self.size(), Qt.KeepAspectRatio, Qt.SmoothTransformation
+                )
+            )
+
+    class PreviewScreen(QWidget):
+        """Original/processed pair + interpolation dialog launcher — the
+        modern_gui PreviewPane + InterpolationDialog flow consolidated into
+        the main shell."""
+
+        def __init__(self):
+            super().__init__()
+            lay = QVBoxLayout(self)
+            panes = QHBoxLayout()
+            self.original = PreviewPane("Original", self.load)
+            self.processed = PreviewPane("Processed", self.load)
+            panes.addWidget(self.original)
+            panes.addWidget(self.processed)
+            lay.addLayout(panes)
+            row = QHBoxLayout()
+            open_btn = QPushButton("Open…")
+            open_btn.clicked.connect(self.open_dialog)
+            interp_btn = QPushButton("Interpolation…")
+            interp_btn.clicked.connect(self.open_interp_dialog)
+            reset = QPushButton("Reset")
+            reset.clicked.connect(self.reset)
+            for wdg in (open_btn, interp_btn, reset):
+                row.addWidget(wdg)
+            lay.addLayout(row)
+            self.status = QLabel("")
+            lay.addWidget(self.status)
+
+        def load(self, path):
+            if m.preview.load_file(path):
+                self.original.show_frame(m.preview.original)
+                self.processed.show_frame(m.preview.processed)
+                self.status.setText(path)
+            else:
+                self.status.setText(m.preview.error or "load failed")
+
+        def open_dialog(self):
+            path, _ = QFileDialog.getOpenFileName(
+                self, "Open Image", "",
+                "Images (*.png *.jpg *.jpeg *.bmp *.webp *.gif)",
+            )
+            if path:
+                self.load(path)
+
+        def reset(self):
+            m.preview.reset()
+            self.original.setText("Original\n(drop an image here)")
+            self.processed.setText("Processed")
+            self.status.setText("")
+
+        def open_interp_dialog(self):
+            dlg = InterpolationDialog(self)
+            dlg.exec()
+
+    class InterpolationDialog(QDialog):
+        """Advanced interpolation settings (modern_gui.py:1572-2000)."""
+
+        def __init__(self, parent=None):
+            super().__init__(parent)
+            self.setWindowTitle("Advanced Interpolation Settings")
+            t = m.interp_tuning
+            form = QFormLayout(self)
+            self.mode = QComboBox()
+            self.mode.addItems(INTERP_MODES)
+            self.mode.setCurrentText(t.mode)
+            self.mode.currentTextChanged.connect(t.set_mode)
+            form.addRow("Mode", self.mode)
+            levels = QSpinBox()
+            levels.setRange(1, 6)
+            levels.setValue(t.levels)
+            levels.valueChanged.connect(t.set_levels)
+            form.addRow("Pyramid levels", levels)
+            coarse = QSpinBox()
+            coarse.setRange(1, 128)
+            coarse.setValue(t.coarse_iters)
+            coarse.valueChanged.connect(t.set_coarse_iters)
+            form.addRow("Coarse iterations", coarse)
+            refine = QSpinBox()
+            refine.setRange(0, 64)
+            refine.setValue(t.refine_iters)
+            refine.valueChanged.connect(t.set_refine_iters)
+            form.addRow("Refine iterations", refine)
+            preset = QComboBox()
+            preset.addItems(t.PRESETS)
+            preset.setCurrentText(t.workgroup_preset)
+            preset.currentTextChanged.connect(t.set_workgroup_preset)
+            form.addRow("Warp workgroup", preset)
+            apply_btn = QPushButton("Apply")
+            apply_btn.clicked.connect(lambda: (t.apply(), self.accept()))
+            cancel = QPushButton("Cancel")
+            cancel.clicked.connect(self.reject)
+            row = QHBoxLayout()
+            row.addWidget(apply_btn)
+            row.addWidget(cancel)
+            form.addRow(row)
 
     class DebugScreen(QWidget):
         """Log console (main.py:1464-1475)."""
@@ -270,6 +397,7 @@ def build_app(model: MainWindowModel | None = None):
             tabs = QTabWidget()
             tabs.addTab(LiveScreen(), "Live")
             tabs.addTab(SettingsScreen(), "Settings")
+            tabs.addTab(PreviewScreen(), "Preview")
             tabs.addTab(DebugScreen(), "Debug")
             tabs.addTab(AdvancedScreen(), "Advanced")
             tabs.addTab(BenchmarkScreen(), "Benchmark")

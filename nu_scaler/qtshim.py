@@ -166,6 +166,9 @@ class QWidget:
     def setAlignment(self, a):  # noqa: N802
         pass
 
+    def setAcceptDrops(self, on):  # noqa: N802
+        self._accept_drops = bool(on)
+
 
 class QLabel(QWidget):
     def __init__(self, text="", parent=None):
@@ -381,6 +384,35 @@ class QFileDialog:
     def getSaveFileName(parent=None, caption="", directory="", filter=""):  # noqa: N802,A002
         return "", ""
 
+    @staticmethod
+    def getOpenFileName(parent=None, caption="", directory="", filter=""):  # noqa: N802,A002
+        return "", ""
+
+
+class QDialog(QWidget):
+    Accepted, Rejected = 1, 0
+
+    def __init__(self, parent=None):
+        super().__init__(parent)
+        self._title = ""
+        self._result = None
+
+    def setWindowTitle(self, t):  # noqa: N802
+        self._title = t
+
+    def accept(self):
+        self._result = QDialog.Accepted
+
+    def reject(self):
+        self._result = QDialog.Rejected
+
+    def exec(self):
+        # modal loop double: widgets drive accept/reject programmatically
+        return self._result if self._result is not None else QDialog.Rejected
+
+    def result(self):
+        return self._result
+
 
 class _BoxLayout:
     def __init__(self, parent=None):
@@ -456,6 +488,7 @@ def install(force: bool = False) -> bool:
         ("QApplication", QApplication),
         ("QCheckBox", QCheckBox),
         ("QComboBox", QComboBox),
+        ("QDialog", QDialog),
         ("QDoubleSpinBox", QDoubleSpinBox),
         ("QFileDialog", QFileDialog),
         ("QFormLayout", QFormLayout),

@@ -40,7 +40,7 @@ QUALITIES = ["ultra", "quality", "balanced", "performance"]
 ALGORITHMS = ["nearest", "bilinear", "bicubic", "lanczos2", "lanczos3", "mitchell", "area"]
 TECHNOLOGIES = ["wgpu", "fsr", "dlss", "fallback"]
 SOURCES = ["synthetic", "fullscreen", "window", "region"]
-INTERP_MODES = ["blend", "flow"]
+INTERP_MODES = ["blend", "flow", "flow_soft"]
 
 
 class SettingsModel:
@@ -477,15 +477,139 @@ class AccessibilityModel:
 
 
 # ---------------------------------------------------------------------------
+# File preview (modern_gui PreviewPane role)
+# ---------------------------------------------------------------------------
+
+
+class PreviewModel:
+    """Original/processed image-pair preview fed by drag-drop or a file
+    dialog — the modern_gui `PreviewPane` flow (modern_gui.py:553-1020:
+    fileDropped/fileSelected → process → paired panes). Qt-free: the widget
+    layer forwards dropped/selected paths to `load_file`, which runs the
+    CURRENT settings' upscaler on the image and exposes both frames as
+    (bytes, w, h)."""
+
+    EXTENSIONS = (".png", ".jpg", ".jpeg", ".bmp", ".webp", ".gif")
+
+    def __init__(self, settings: SettingsModel):
+        self.settings = settings
+        self.original: Optional[tuple] = None  # (rgba_bytes, w, h)
+        self.processed: Optional[tuple] = None
+        self.file_path: Optional[str] = None
+        self.error: Optional[str] = None
+
+    def accepts(self, path: str) -> bool:
+        """The drag-enter filter (modern_gui.py:940-947, 975-977)."""
+        return path.lower().endswith(self.EXTENSIONS)
+
+    def load_file(self, path: str) -> bool:
+        """Load + process one image through the configured upscaler.
+        Returns True on success; failures land in `self.error` (the pane
+        shows them instead of crashing the shell)."""
+        self.error = None
+        if not self.accepts(path):
+            self.error = f"unsupported file type: {path}"
+            return False
+        try:
+            from PIL import Image
+
+            import nu_scaler_core as nsc
+
+            img = Image.open(path).convert("RGBA")
+            w, h = img.size
+            data = img.tobytes()
+            s = self.settings
+            out_w = max(1, int(w * s.scale))
+            out_h = max(1, int(h * s.scale))
+            up = nsc.PyWgpuUpscaler(s.quality, s.algorithm)
+            up.initialize(w, h, out_w, out_h)
+            out = up.upscale(data)
+            self.original = (data, w, h)
+            self.processed = (out, out_w, out_h)
+            self.file_path = path
+            return True
+        except Exception as e:  # noqa: BLE001 — surfaced to the pane
+            self.error = str(e)
+            return False
+
+    def reset(self) -> None:
+        self.original = self.processed = self.file_path = None
+        self.error = None
+
+
+# ---------------------------------------------------------------------------
+# Interpolation tuning dialog (modern_gui InterpolationDialog role)
+# ---------------------------------------------------------------------------
+
+
+class InterpolationTuningModel:
+    """Advanced interpolation settings — the modern_gui
+    `InterpolationDialog` (modern_gui.py:1572-2000): mode, pyramid levels,
+    Horn–Schunck iteration counts, warp workgroup preset. `apply()`
+    validates, pushes the mode into the live SettingsModel and returns the
+    dict the dialog's settingsApplied signal would carry."""
+
+    PRESETS = ["8x8", "16x16", "32x8", "8x32"]
+
+    def __init__(self, settings: SettingsModel):
+        self.settings = settings
+        self.mode = settings.interpolation_mode
+        self.levels = 4
+        self.coarse_iters = 32
+        self.refine_iters = 8
+        self.workgroup_preset = "16x16"
+        self.applied: Optional[dict] = None
+
+    def set_mode(self, mode: str) -> None:
+        self.mode = mode if mode in INTERP_MODES else "blend"
+
+    def set_levels(self, n: int) -> None:
+        self.levels = min(6, max(1, int(n)))
+
+    def set_coarse_iters(self, n: int) -> None:
+        self.coarse_iters = min(128, max(1, int(n)))
+
+    def set_refine_iters(self, n: int) -> None:
+        self.refine_iters = min(64, max(0, int(n)))
+
+    def set_workgroup_preset(self, p: str) -> None:
+        self.workgroup_preset = p if p in self.PRESETS else "16x16"
+
+    def to_dict(self) -> dict:
+        return {
+            "mode": self.mode,
+            "levels": self.levels,
+            "coarse_iters": self.coarse_iters,
+            "refine_iters": self.refine_iters,
+            "workgroup_preset": self.workgroup_preset,
+        }
+
+    def apply(self) -> dict:
+        self.settings.set_interpolation(self.settings.interpolation, self.mode)
+        self.applied = self.to_dict()
+        return self.applied
+
+    def make_interpolator(self):
+        """Build the configured interpolator (the dialog's preview hook)."""
+        import nu_scaler_core as nsc
+
+        return nsc.create_interpolator(self.mode, self.workgroup_preset)
+
+
+# ---------------------------------------------------------------------------
 # Main window
 # ---------------------------------------------------------------------------
 
 
 class MainWindowModel:
     """Screen registry + navigation + hotkey wiring (MainWindow role,
-    main.py:1956+)."""
+    main.py:1956+; the preview screen consolidates modern_gui's PreviewPane
+    flow into the same shell)."""
 
-    SCREENS = ["live", "settings", "debug", "advanced", "benchmark", "accessibility"]
+    SCREENS = [
+        "live", "settings", "preview", "debug", "advanced", "benchmark",
+        "accessibility",
+    ]
 
     def __init__(self, session_factory=None):
         self.settings = SettingsModel()
@@ -493,6 +617,8 @@ class MainWindowModel:
         self.debug = DebugModel()
         self.advanced = AdvancedModel()
         self.benchmark = BenchmarkModel()
+        self.preview = PreviewModel(self.settings)
+        self.interp_tuning = InterpolationTuningModel(self.settings)
         self.accessibility = AccessibilityModel().load()
         self.current_screen = "live"
         self.quit_requested = False
