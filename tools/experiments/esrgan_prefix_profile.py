@@ -108,8 +108,10 @@ def main() -> None:
 
         def body(s, fn=fn):
             out = fn(s)
-            v = out.reshape(-1)[0].astype(jnp.int32) % 2
-            return jnp.clip(s.astype(jnp.int32) + v, 0, 255).astype(jnp.uint8)
+            # full-reduction consumer: forces materialization (a one-element
+            # read lets XLA DCE the stage — see esrgan_surgery3 lesson)
+            v = jnp.sum(jnp.abs(out.reshape(-1).astype(jnp.float32) - 0.37)) % 2.0  # nonlinear: can't fold through convs
+            return jnp.clip(s.astype(jnp.float32) + v, 0, 255).astype(jnp.uint8)
 
         t = device_timer(body, x_u8, 10, ov) * 1000.0
         log(f"{upto:2d} {name:12s}: {t:7.3f} ms  (Δ {t - prev:+6.3f})")

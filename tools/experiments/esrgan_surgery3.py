@@ -107,9 +107,11 @@ def main() -> None:
         ]
 
     def chain(u8, out):
-        return jnp.clip(
-            u8.astype(jnp.int32) + out.reshape(-1)[0].astype(jnp.int32) % 2, 0, 255
-        ).astype(jnp.uint8)
+        # FORCE full materialization: a reduction over the whole output (one
+        # fused read pass) — a single-element read lets XLA dead-code-
+        # eliminate the rest of the graph (measured: concat variant "0.000 ms")
+        v = jnp.sum(jnp.abs(out.reshape(-1).astype(jnp.float32) - 0.37)) % 2.0  # nonlinear: can't fold through convs
+        return jnp.clip(u8.astype(jnp.float32) + v, 0, 255).astype(jnp.uint8)
 
     def timeit(tag, fn, iters=10):
         f = jax.jit(fn)
@@ -153,7 +155,7 @@ def main() -> None:
 
     # 4b. 64-in head conv on the concatenated s2d
     def head_cat(u8):
-        return _conv(s2d_cat(u8)[None], head_k_j, head_b)
+        return _conv(s2d_cat(u8), head_k_j, head_b)
 
     timeit("4b selects+cat+64in head", head_cat)
 
@@ -189,7 +191,7 @@ def main() -> None:
         return finish(tail, base)
 
     def v3b(u8):  # selects + concat + 64-in head + dense base on s2d
-        s2d = s2d_cat(u8)[None]
+        s2d = s2d_cat(u8)
         feat = _conv(s2d, head_k_j, head_b)
         tail = trunk_tail(feat)
         sp = jnp.pad(s2d, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
