@@ -556,6 +556,154 @@ def _build_pretrained(in_h, in_w, out_h, out_w, dtype, stages, prefer):
     return fn
 
 
+def _expand_in_rgba(k: np.ndarray, st: int, scale: float) -> np.ndarray:
+    """HWIO kernel with I = st²·3 (RGB s2d rows) → I' = st²·4 (RGBA s2d),
+    alpha rows zero, weights scaled by `scale` (absorbs the 1/255 input
+    normalization so the graph can run on raw 0..255 values, which are
+    bf16-exact)."""
+    kh, kw, _i3, o = k.shape
+    out = np.zeros((kh, kw, st * st * 4, o), np.float32)
+    for q in range(st * st):
+        out[:, :, q * 4 : q * 4 + 3, :] = k[:, :, q * 3 : q * 3 + 3, :] * scale
+    return out
+
+
+def _expand_out_rgba(k: np.ndarray, b: np.ndarray, r: int, scale: float):
+    """HWIO kernel with O = r²·3 phase-major RGB → O' = r²·4 RGBA-interleaved
+    (alpha outputs zero), scaled by `scale` (255 → raw-domain phases)."""
+    kh, kw, i, _o3 = k.shape
+    out = np.zeros((kh, kw, i, r * r * 4), np.float32)
+    ob = np.zeros((r * r * 4,), np.float32)
+    for ph in range(r * r):
+        out[:, :, :, ph * 4 : ph * 4 + 3] = k[:, :, :, ph * 3 : ph * 3 + 3] * scale
+        ob[ph * 4 : ph * 4 + 3] = b[ph * 3 : ph * 3 + 3] * scale
+    return out, ob
+
+
+@functools.lru_cache(maxsize=8)
+def _row_phase_selectors(in_h: int, st: int):
+    """One-hot [in_h/st, in_h] row selectors per vertical phase — the s2d
+    relayout as st MXU matmuls. The strided-slice/transpose forms of s2d
+    measured 2.3 ms/frame at 1080p on v5e (strided slicing is a gather-class
+    relayout, CLAUDE.md); these one-hot matmuls + a free lane concat measured
+    0.05 ms (tools/experiments/esrgan_surgery3.py)."""
+    nh = in_h // st
+    sels = []
+    for q in range(st):
+        s = np.zeros((nh, in_h), np.float32)
+        s[np.arange(nh), np.arange(nh) * st + q] = 1.0
+        sels.append(jnp.asarray(s, jnp.bfloat16))
+    return tuple(sels)
+
+
+def make_serving_fn_fused(model, params, in_h, in_w, dtype=jnp.bfloat16):
+    """The production serving graph for exact-ratio ESRGANLiteTPU upscaling —
+    the round-3 serving-graph surgery (VERDICT r2 next #1). u8 RGBA [H,W,4]
+    → u8 RGBA [uH,uW,4], same trunk math as `model.apply`, restructured so
+    every relayout is an MXU matmul or a free reshape:
+
+      * s2d via one-hot row-phase selector matmuls (`_row_phase_selectors`)
+        + lane concat — replaces the 2.3 ms strided-slice relayout;
+      * the graph runs in the RAW 0..255 domain: 1/255 is absorbed into the
+        expanded head kernel, ×255 into the expanded tail kernel;
+      * tail and fixed bilinear base emit RGBA-INTERLEAVED phases (alpha
+        rides the base bilinearly), so there is no separate alpha matmul and
+        no channel concat — one quantize, then the free-reshape d2s.
+
+    Measured ladder at 1080p→4K on tpu4 (tools/experiments/esrgan_surgery3/
+    4.py): 6.8 ms (old graph) → ~3.8-4.2 ms. Alpha semantics: bilinear
+    phase resample (the old path used nearest) — identical for the α≡255
+    frames the capture path produces.
+    """
+    st = model.stride
+    up = model.upscale
+    r = st * up
+    nh, nw = in_h // st, in_w // st
+    out_w = in_w * up
+    out_h = in_h * up
+
+    p = params["params"] if "params" in params else params
+    head_k = jnp.asarray(
+        _expand_in_rgba(np.asarray(p["head"]["kernel"], np.float32), st, 1 / 255.0)
+    )
+    head_b = jnp.asarray(np.asarray(p["head"]["bias"], np.float32))
+    tk, tb = _expand_out_rgba(
+        np.asarray(p["tail"]["kernel"], np.float32),
+        np.asarray(p["tail"]["bias"], np.float32), r, 255.0,
+    )
+    tail_k, tail_b = jnp.asarray(tk), jnp.asarray(tb)
+    blocks = []
+    i = 0
+    while f"block{i}" in p:
+        blk = p[f"block{i}"]
+        blocks.append(
+            tuple(
+                (jnp.asarray(np.asarray(blk[c]["kernel"], np.float32)),
+                 jnp.asarray(np.asarray(blk[c]["bias"], np.float32)))
+                for c in ("conv1", "conv2")
+            )
+        )
+        i += 1
+    trunk_k = jnp.asarray(np.asarray(p["trunk"]["kernel"], np.float32))
+    trunk_b = jnp.asarray(np.asarray(p["trunk"]["bias"], np.float32))
+    sels = _row_phase_selectors(in_h, st)
+    sparse = model.base_impl == "sparse"
+    if sparse:
+        center, terms = _sparse_base_terms(4, up, st)
+        center_j = jnp.asarray(center, dtype)
+        terms_j = [
+            (oy, ox, jnp.asarray(a, dtype), jnp.asarray(bm, dtype))
+            for (oy, ox, a, bm) in terms
+        ]
+    else:
+        base_k = jnp.asarray(_bilinear_base_kernel(4, up, st))
+
+    def conv(x, k, b=None, pad="SAME"):
+        y = jax.lax.conv_general_dilated(
+            x, k.astype(x.dtype), (1, 1), pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y if b is None else y + b.astype(x.dtype)
+
+    def fn(img_u8):
+        x2d = img_u8.reshape(in_h, in_w * 4).astype(dtype)
+        s2d = jnp.concatenate(
+            [
+                jnp.einsum("or,rw->ow", sels[q].astype(dtype), x2d)
+                .reshape(nh, nw, st * 4)[None]
+                for q in range(st)
+            ],
+            axis=-1,
+        )  # [1, nh, nw, st²·4] raw-scale
+        feat = conv(s2d, head_k, head_b)
+        h = feat
+        for (k1, b1), (k2, b2) in blocks:
+            t1 = jax.nn.relu(conv(h, k1, b1))
+            h = h + jnp.asarray(0.2, h.dtype) * conv(t1, k2, b2)
+        h = conv(h, trunk_k, trunk_b) + feat
+        tail = conv(h, tail_k, tail_b)
+        if sparse:
+            base = jnp.einsum("nhwi,io->nhwo", s2d, center_j)
+            for oy, ox, a_m, b_m in terms_j:
+                sh = _shift_edge_nhwc(s2d, oy, ox)
+                red = jnp.einsum("nhwi,ik->nhwk", sh, a_m)
+                base = base + jnp.einsum("nhwk,ko->nhwo", red, b_m)
+        else:
+            sp = jnp.pad(s2d, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+            base = conv(sp, base_k, pad="VALID")
+        phases = tail + base  # [1, nh, nw, r²·4] raw-scale RGBA-interleaved
+        ph_u8 = jnp.clip(
+            jnp.round(phases[0].astype(jnp.float32)), 0, 255
+        ).astype(jnp.uint8)
+        rows = [
+            ph_u8[..., q * r * 4 : (q + 1) * r * 4].reshape(nh, out_w, 4)
+            for q in range(r)
+        ]
+        return jnp.stack(rows, axis=1).reshape(out_h, out_w, 4)
+
+    return jax.jit(fn)
+
+
 def make_serving_fn(model, params, in_h, in_w, out_h, out_w, dtype=jnp.bfloat16):
     """Build the jitted u8 RGBA → u8 RGBA serving function for any
     ESRGANLite/ESRGANLiteTPU instance (used by `make_pretrained_upscaler`
@@ -564,6 +712,16 @@ def make_serving_fn(model, params, in_h, in_w, out_h, out_w, dtype=jnp.bfloat16)
 
     u = getattr(model, "upscale", None) or 2 ** getattr(model, "stages", 1)
     exact = isinstance(model, ESRGANLiteTPU) and (out_h, out_w) == (in_h * u, in_w * u)
+
+    if (
+        exact
+        and model.conv_impl == "conv"
+        and in_h % model.stride == 0
+        and in_w % model.stride == 0
+    ):
+        # the fused raw-domain serving graph (select-matmul s2d, expanded
+        # RGBA-interleaved tail+base) — 6.8 → ~4 ms/frame at 1080p→4K
+        return make_serving_fn_fused(model, params, in_h, in_w, dtype)
 
     if exact:
         st = model.stride

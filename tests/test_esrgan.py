@@ -220,3 +220,64 @@ def test_learned_tier_beats_lanczos3_held_out():
     fn = jax.jit(lambda x: model.apply(params, x))
     q = eval_vs_lanczos3(fn, scale=2, seeds=(900,))
     assert q["psnr_delta_db"] > 0.0, q
+
+
+def test_fused_serving_matches_apply_path(rng):
+    """The fused raw-domain serving graph (select-matmul s2d, expanded
+    RGBA-interleaved tail+base — make_serving_fn_fused) must reproduce the
+    straightforward model.apply serving path bit-near (round-3 serving
+    surgery; only bf16 association order and the alpha resample differ)."""
+    import jax.numpy as jnp
+
+    for stride, base_impl in ((4, "conv"), (8, "sparse"), (2, "conv")):
+        h, w = 32, 64
+        model = el.ESRGANLiteTPU(
+            upscale=2, stride=stride, features=32, blocks=2, base_impl=base_impl
+        )
+        params = model.init(
+            jax.random.PRNGKey(3), jnp.zeros((1, h, w, 3), jnp.float32)
+        )
+        img = rng.integers(0, 256, (h, w, 4), np.uint8)
+        img[..., 3] = 255
+        fused = el.make_serving_fn_fused(model, params, h, w)
+        out_f = np.asarray(fused(jnp.asarray(img)))
+        plain = el.make_serving_fn.__wrapped__ if hasattr(el.make_serving_fn, "__wrapped__") else el.make_serving_fn
+        # build the OLD exact path directly (bypass the fused dispatch)
+        p_cast = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+        f01 = img[..., :3].astype(np.float32)[None] / 255.0
+        ref_rgb = model.apply(p_cast, jnp.asarray(f01, jnp.bfloat16))
+        ref_rgb = np.asarray(
+            jnp.clip(jnp.round(ref_rgb[0].astype(jnp.float32) * 255.0), 0, 255)
+        ).astype(np.uint8)
+        d = out_f[..., :3].astype(np.float64) - ref_rgb.astype(np.float64)
+        assert out_f.shape == (2 * h, 2 * w, 4)
+        # raw-domain bf16 (ulp 1 at 255) vs [0,1]-domain bf16 (ulp ~0.004):
+        # a few LSB of association noise — gate like every kernel golden
+        psnr = 10 * np.log10(255.0**2 / max(float(np.mean(d**2)), 1e-12))
+        assert psnr >= 45.0, (stride, psnr, np.abs(d).max())
+        assert np.abs(d).mean() < 1.0, (stride, np.abs(d).mean())
+        np.testing.assert_array_equal(out_f[..., 3], 255)  # alpha preserved
+
+
+def test_fused_serving_is_dispatched_for_exact_ratios(rng):
+    """make_serving_fn must route exact-ratio conv models through the fused
+    graph (the 1080p->4K production path)."""
+    import jax.numpy as jnp
+
+    model = el.ESRGANLiteTPU(upscale=2, stride=4, features=16, blocks=1)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3), jnp.float32))
+    seen = []
+    orig = el.make_serving_fn_fused
+
+    def spy(*a, **k):
+        seen.append(1)
+        return orig(*a, **k)
+
+    el.make_serving_fn_fused, saved = spy, el.make_serving_fn_fused
+    try:
+        fn = el.make_serving_fn(model, params, 16, 32, 32, 64)
+        img = rng.integers(0, 256, (16, 32, 4), np.uint8)
+        out = np.asarray(fn(jnp.asarray(img)))
+        assert out.shape == (32, 64, 4) and seen
+    finally:
+        el.make_serving_fn_fused = saved
