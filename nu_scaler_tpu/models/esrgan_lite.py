@@ -623,9 +623,21 @@ def make_serving_fn_fused(model, params, in_h, in_w, dtype=jnp.bfloat16):
     out_h = in_h * up
 
     p = params["params"] if "params" in params else params
-    head_k = jnp.asarray(
-        _expand_in_rgba(np.asarray(p["head"]["kernel"], np.float32), st, 1 / 255.0)
+    head_k_np = _expand_in_rgba(
+        np.asarray(p["head"]["kernel"], np.float32), st, 1 / 255.0
     )
+    # lane efficiency: a 64-in conv measured ~1.7 ms slower than the same
+    # conv zero-padded to 128 input channels (esrgan_surgery6.py) — the MXU
+    # contraction underfills below 128. Pad the s2d (and the kernel's input
+    # rows) when the channel count is 64; 128-multiples stay as-is.
+    cin = head_k_np.shape[2]
+    pad_c = 128 - cin if cin == 64 else 0
+    if pad_c:
+        head_k_np = np.concatenate(
+            [head_k_np, np.zeros((3, 3, pad_c, head_k_np.shape[-1]), np.float32)],
+            axis=2,
+        )
+    head_k = jnp.asarray(head_k_np)
     head_b = jnp.asarray(np.asarray(p["head"]["bias"], np.float32))
     tk, tb = _expand_out_rgba(
         np.asarray(p["tail"]["kernel"], np.float32),
@@ -675,7 +687,10 @@ def make_serving_fn_fused(model, params, in_h, in_w, dtype=jnp.bfloat16):
             ],
             axis=-1,
         )  # [1, nh, nw, st²·4] raw-scale
-        feat = conv(s2d, head_k, head_b)
+        s2d_head = (
+            jnp.concatenate([s2d, jnp.zeros_like(s2d)], axis=-1) if pad_c else s2d
+        )
+        feat = conv(s2d_head, head_k, head_b)
         h = feat
         for (k1, b1), (k2, b2) in blocks:
             t1 = jax.nn.relu(conv(h, k1, b1))
