@@ -6,29 +6,33 @@ candidate slabs × 2 frames of full-image bf16 accumulator read-modify-writes
 in HBM (~2.5 ms/pair at 1080p, the measured flow_soft overhead; TODO r2).
 
 This kernel restructures the same math around the bilinear blend's locality:
-on the HALF-TILE-OFFSET cell grid, a pixel's blend only ever mixes the 4
-surrounding tile centers. Per (tile-sized) cell it therefore needs at most
-4 slab DMAs per frame — each corner tile's integer block offset — and the
-whole K-term accumulation collapses into VMEM:
+on the HALF-TILE-OFFSET cell grid, a pixel's blend only mixes the 4
+surrounding tile centers, so per cell at most 4 candidate slabs per frame
+carry weight — the K-term accumulation collapses into VMEM:
 
-  out(p) = Σ_f w_f Σ_{c ∈ 4 corners} bw_c(p) · bilerp(frame_f,
-               p + q_c + frac_c(p)),     w_A = 1−t, w_B = t
+  out(p) = Σ_f w_f Σ_k [k active at a corner] w_k(p) · bilerp(slab_{f,k}, p)
+  w_k(p) = Σ_{c ∈ 4 corners} [assign_c == k] · bw_c(p),  w_A = 1−t, w_B = t
 
-  * bw_c(p): the in-cell bilinear corner basis ((1−fy)(1−fx), …) — exactly
-    the XLA path's half-tile-shifted tile→pixel upsample.
-  * q_c: floor of corner-tile mean motion (per frame), clipped to ±rng.
-  * frac_c(p) = clip(smooth(p) − q_c, 0, 1): subpixel fraction against the
-    bilinearly-smoothed motion field, like the XLA path — but each corner
-    uses ITS OWN tile's integer offset (no global top-K quantization), and
-    the column lerp is exact per-pixel (the XLA path's P/Q one-lane-right
-    approximation isn't needed when slabs sit in VMEM).
-  * corners with identical offsets are deduplicated at run time (scalar
-    compare + `pl.when`): smooth-motion cells do 1 DMA + 1 bilerp per frame
-    instead of 4.
+Mosaic constraint that shaped the design: dynamic HBM slices must be
+tile-aligned (8 sublanes × 128 lanes) — arbitrary per-candidate offsets
+can't be DMA'd directly (the r2 `warp_pallas.block_warp_blend` kernel only
+ever ran in CPU interpret mode and hides the same issue). So the candidate
+slabs are extracted ONCE in XLA (K dynamic_slices per frame, u8, pre-shifted
+onto the cell grid) into a stack whose per-cell windows sit at statically
+aligned offsets (row cy·th, lane cx·tw·4); the kernel then DMAs only the
+slabs whose candidate is assigned to one of its cell's corners (`pl.when` on
+scalar compares — smooth-motion cells copy 1 slab per frame, not K), and
+accumulates in VMEM with exact per-pixel column lerps (no P/Q lane-shift
+approximation).
 
-Reference lineage: overlapped-block MC is the classic de-blocking of the
-block matcher the reference shipped CPU-side (`Nu_scale/src/upscale/
-fsr3.rs:319-376`, `interpolation/mod.rs` BlockMatchingInterpolator).
+Candidate selection (global top-K over tile-offset histogram + nearest-
+candidate assignment) matches the XLA soft path exactly; the subpixel
+fraction is clip(smooth(p) − cand_k, 0, 1) against the bilinearly smoothed
+motion field, as there.
+
+Reference lineage: overlapped-block MC de-blocks the block matcher the
+reference shipped CPU-side (`Nu_scale/src/upscale/fsr3.rs:319-376`,
+`interpolation/mod.rs` BlockMatchingInterpolator).
 """
 
 from __future__ import annotations
@@ -41,7 +45,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANES = 4  # RGBA interleaved in the lane dim (2D [H, W*4] u8 frames)
+LANES = 4  # RGBA interleaved in the lane dim
 
 
 def _corner_stack(field: jax.Array) -> jax.Array:
@@ -58,115 +62,121 @@ def _tile_mean(field: jax.Array, th: int, tw: int) -> jax.Array:
     return v.reshape(ty, th, tx, tw, 2).mean(axis=(1, 3))
 
 
+def _candidates(tiles: jax.Array, k: int, rng: int):
+    """Global top-K integer offsets + per-tile nearest assignment — the same
+    selection as ops/interpolate._soft_warp_accumulate."""
+    q = jnp.floor(tiles).astype(jnp.int32)
+    side = 2 * rng + 2
+    ids = (q[..., 1] + rng) * side + (q[..., 0] + rng)
+    hist = jnp.zeros((side * side,), jnp.int32).at[ids.reshape(-1)].add(1)
+    _, top = jax.lax.top_k(hist, k)
+    cand_y = top // side - rng
+    cand_x = top % side - rng
+    d2 = (q[..., 1, None] - cand_y) ** 2 + (q[..., 0, None] - cand_x) ** 2
+    assign = jnp.argmin(d2, axis=-1).astype(jnp.int32)
+    return cand_y, cand_x, assign
+
+
 def _kernel(
-    # scalar prefetch
-    oy_a, ox_a, sy_a, sx_a, oy_b, ox_b, sy_b, sx_b, t_ref,
-    # inputs (HBM)
-    a_hbm, b_hbm,
+    # scalar prefetch: per frame FLAT tile arrays (assign/sy/sx [Ty*Tx]) +
+    # cand_y/x [K]; then t. Flat 1-D SMEM arrays: the [Cy,Cx,4] corner-stack
+    # form blew the 1 MB SMEM budget through multi-dim padding (measured:
+    # operand 0 alone padded 139 KB -> 1.09 MB).
+    idx_a, sy_a, sx_a, cy_a, cx_a, idx_b, sy_b, sx_b, cy_b, cx_b, t_ref,
+    # input: slab stack [2K, RS, CS] u8 (HBM)
+    stack_hbm,
     # output
     out_ref,
     # scratch
-    s_a0, s_a1, s_a2, s_a3, s_b0, s_b1, s_b2, s_b3, acc,
-    m_a0, m_a1, m_a2, m_a3, m_b0, m_b1, m_b2, m_b3,
-    *, th, tw, pad_y, pad_x,
+    *scratch,
+    th, tw, k, ty, tx,
 ):
-    cy = pl.program_id(0)
-    cx = pl.program_id(1)
+    slabs = scratch[:1]
+    acc = scratch[1]
+    sems = scratch[2:]
+    ci = pl.program_id(0)
+    cj = pl.program_id(1)
     wl = tw * LANES
 
-    cell_r0 = cy * th - th // 2
-    cell_c0 = cx * tw - tw // 2
+    def corner_ix(dy, dx):
+        # tile index of cell corner (dy,dx) in {0,1}^2, edge-clamped, flat
+        ti = jnp.clip(ci - 1 + dy, 0, ty - 1)
+        tj = jnp.clip(cj - 1 + dx, 0, tx - 1)
+        return ti * tx + tj
 
-    # in-cell fractions (pixel granularity; fx broadcast over the 4 lanes)
-    ly = jax.lax.broadcasted_iota(jnp.float32, (th, wl), 0)
+    corner = [corner_ix(0, 0), corner_ix(0, 1), corner_ix(1, 0), corner_ix(1, 1)]
+
+    ly = jax.lax.broadcasted_iota(jnp.int32, (th, wl), 0).astype(jnp.float32)
     lx = (jax.lax.broadcasted_iota(jnp.int32, (th, wl), 1) // LANES).astype(
         jnp.float32
     )
     fy = (ly + 0.5) * (1.0 / th)
     fx = (lx + 0.5) * (1.0 / tw)
-
     basis = (
-        (1.0 - fy) * (1.0 - fx),  # tl
-        (1.0 - fy) * fx,          # tr
-        fy * (1.0 - fx),          # bl
-        fy * fx,                  # br
+        (1.0 - fy) * (1.0 - fx),
+        (1.0 - fy) * fx,
+        fy * (1.0 - fx),
+        fy * fx,
     )
 
     acc[...] = jnp.zeros_like(acc)
 
-    for (oy, ox, sy, sx, hbm, slabs, sems, wgt) in (
-        (oy_a, ox_a, sy_a, sx_a, a_hbm, (s_a0, s_a1, s_a2, s_a3),
-         (m_a0, m_a1, m_a2, m_a3), 1.0 - t_ref[0]),
-        (oy_b, ox_b, sy_b, sx_b, b_hbm, (s_b0, s_b1, s_b2, s_b3),
-         (m_b0, m_b1, m_b2, m_b3), t_ref[0]),
-    ):
-        o_y = [oy[cy, cx, c] for c in range(4)]
-        o_x = [ox[cy, cx, c] for c in range(4)]
-
-        # smoothed motion fields across the cell (bilinear of corner means)
+    for f, (idx, sy, sx, cnd_y, cnd_x, wgt) in enumerate((
+        (idx_a, sy_a, sx_a, cy_a, cx_a, 1.0 - t_ref[0]),
+        (idx_b, sy_b, sx_b, cy_b, cx_b, t_ref[0]),
+    )):
+        corner_idx = [idx[corner[c]] for c in range(4)]
         sm_y = (
-            (1.0 - fy) * ((1.0 - fx) * sy[cy, cx, 0] + fx * sy[cy, cx, 1])
-            + fy * ((1.0 - fx) * sy[cy, cx, 2] + fx * sy[cy, cx, 3])
+            (1.0 - fy) * ((1.0 - fx) * sy[corner[0]] + fx * sy[corner[1]])
+            + fy * ((1.0 - fx) * sy[corner[2]] + fx * sy[corner[3]])
         )
         sm_x = (
-            (1.0 - fy) * ((1.0 - fx) * sx[cy, cx, 0] + fx * sx[cy, cx, 1])
-            + fy * ((1.0 - fx) * sx[cy, cx, 2] + fx * sx[cy, cx, 3])
+            (1.0 - fy) * ((1.0 - fx) * sx[corner[0]] + fx * sx[corner[1]])
+            + fy * ((1.0 - fx) * sx[corner[2]] + fx * sx[corner[3]])
         )
 
-        # run-time corner dedupe: assign each corner to the lowest-indexed
-        # corner with the same integer offset
-        dup = {}
-        for c in range(1, 4):
-            for e in range(c):
-                dup[(c, e)] = jnp.logical_and(o_y[c] == o_y[e], o_x[c] == o_x[e])
-        first = [None] * 4
-        first[0] = jnp.bool_(True)
-        first[1] = jnp.logical_not(dup[(1, 0)])
-        first[2] = jnp.logical_not(jnp.logical_or(dup[(2, 0)], dup[(2, 1)]))
-        first[3] = jnp.logical_not(
-            jnp.logical_or(dup[(3, 0)], jnp.logical_or(dup[(3, 1)], dup[(3, 2)]))
-        )
-
-        # start DMAs for first-occurrence corners
-        copies = [None] * 4
-        for c in range(4):
-            copies[c] = pltpu.make_async_copy(
-                hbm.at[
-                    pl.ds(o_y[c], th + 1),
-                    pl.ds(o_x[c] * LANES, (tw + 1) * LANES),
-                ],
-                slabs[c],
-                sems[c],
+        # Per-candidate conditional accumulation — the best-measured form on
+        # this backend (tools/experiments soft_warp ladder, /tmp/softwarp*):
+        # one slab buffer, copy->wait->compute inside pl.when per active
+        # candidate. Variants measured SLOWER at 1080p: start-all-then-wait
+        # DMA overlap (+0.1 ms), a uniform-cell fast path (+0.35 — extra
+        # branches dominate), and branchless per-corner dynamic-index DMAs
+        # with bf16 math (+2.4 — 8 unconditional DMAs/cell lose to skipping
+        # inactive candidates).
+        for kk in range(k):
+            flags = [corner_idx[c] == kk for c in range(4)]
+            active = jnp.logical_or(
+                jnp.logical_or(flags[0], flags[1]),
+                jnp.logical_or(flags[2], flags[3]),
             )
 
-            @pl.when(first[c])
-            def _(c=c):
-                copies[c].start()
-
-        for c in range(4):
-            # effective weight: own basis + bases of later corners that
-            # dedupe to c (each later corner folds into its FIRST equal)
-            w_eff = basis[c]
-            for j in range(c + 1, 4):
-                folds = dup[(j, c)]
-                for e in range(c):
-                    folds = jnp.logical_and(folds, jnp.logical_not(dup[(j, e)]))
-                w_eff = w_eff + jnp.where(folds, basis[j], 0.0)
-
-            @pl.when(first[c])
-            def _(c=c, w_eff=w_eff):
-                copies[c].wait()
-                s = slabs[c][:].astype(jnp.int32).astype(jnp.float32)
-                # subpixel fractions vs the smooth field, per pixel
-                qy_c = (o_y[c] - pad_y - cell_r0).astype(jnp.float32)
-                qx_c = (o_x[c] - pad_x - cell_c0).astype(jnp.float32)
-                fyc = jnp.clip(sm_y - qy_c, 0.0, 1.0)
-                fxc = jnp.clip(sm_x - qx_c, 0.0, 1.0)
-                top = s[:th, :wl] + fxc * (s[:th, LANES : wl + LANES] - s[:th, :wl])
-                bot = s[1 : th + 1, :wl] + fxc * (
-                    s[1 : th + 1, LANES : wl + LANES] - s[1 : th + 1, :wl]
+            @pl.when(active)
+            def _(kk=kk, flags=flags, sm_y=sm_y, sm_x=sm_x,
+                  cnd_y=cnd_y, cnd_x=cnd_x, wgt=wgt, f=f):
+                cp = pltpu.make_async_copy(
+                    stack_hbm.at[
+                        f * k + kk,
+                        pl.ds(ci * th, th + 8),
+                        pl.ds(cj * wl, wl + 128),
+                    ],
+                    slabs[0],
+                    sems[0],
                 )
-                acc[...] += (wgt * w_eff) * (top + fyc * (bot - top))
+                cp.start()
+                w_k = jnp.where(flags[0], basis[0], 0.0)
+                for c in range(1, 4):
+                    w_k = w_k + jnp.where(flags[c], basis[c], 0.0)
+                fyk = jnp.clip(sm_y - cnd_y[kk].astype(jnp.float32), 0.0, 1.0)
+                fxk = jnp.clip(sm_x - cnd_x[kk].astype(jnp.float32), 0.0, 1.0)
+                cp.wait()
+                sl = slabs[0][:].astype(jnp.int32).astype(jnp.float32)
+                top = sl[:th, :wl] + fxk * (
+                    sl[:th, LANES : wl + LANES] - sl[:th, :wl]
+                )
+                bot = sl[1 : th + 1, :wl] + fxk * (
+                    sl[1 : th + 1, LANES : wl + LANES] - sl[1 : th + 1, :wl]
+                )
+                acc[...] += (wgt * w_k) * (top + fyk * (bot - top))
 
     out_ref[...] = (
         jnp.round(jnp.clip(acc[...], 0.0, 255.0)).astype(jnp.int32).astype(jnp.uint8)
@@ -174,30 +184,30 @@ def _kernel(
 
 
 @functools.lru_cache(maxsize=16)
-def _build(h: int, w: int, th: int, tw: int, rng: int):
+def _build(h: int, w: int, th: int, tw: int, rng: int, k: int):
     ty, tx = h // th, w // tw
     cy, cx = ty + 1, tx + 1
-    pad_y = rng + th // 2 + 2
-    pad_x = rng + tw // 2 + 2
+    hh, hw = th // 2, tw // 2
+    pad_y = rng + hh + 2
+    pad_x = rng + hw + 2
+    rs = cy * th + 16  # slab-stack rows (+16: the 8-aligned halo block)
+    cs = (cx * tw + 32) * LANES  # +32 px: the 128-lane halo block
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=9,
+        num_scalar_prefetch=11,
         grid=(cy, cx),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # frame A padded (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),  # frame B padded (HBM)
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],  # slab stack (HBM)
         out_specs=pl.BlockSpec(
             (th, tw * LANES), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            *([pltpu.VMEM((th + 1, (tw + 1) * LANES), jnp.uint8)] * 8),
+            pltpu.VMEM((th + 8, (tw + 32) * LANES), jnp.uint8),
             pltpu.VMEM((th, tw * LANES), jnp.float32),
-            *([pltpu.SemaphoreType.DMA] * 8),
+            pltpu.SemaphoreType.DMA,
         ],
     )
     call = pl.pallas_call(
-        functools.partial(_kernel, th=th, tw=tw, pad_y=pad_y, pad_x=pad_x),
+        functools.partial(_kernel, th=th, tw=tw, k=k, ty=ty, tx=tx),
         out_shape=jax.ShapeDtypeStruct((cy * th, cx * tw * LANES), jnp.uint8),
         grid_spec=grid_spec,
         interpret=jax.default_backend() == "cpu",
@@ -206,36 +216,38 @@ def _build(h: int, w: int, th: int, tw: int, rng: int):
     def fn(frame_a, frame_b, flow, time_t):
         t_arr = jnp.asarray([time_t], jnp.float32)
 
-        def prefetch(sign):
-            tiles = _tile_mean(sign * flow, th, tw)
-            tiles = jnp.clip(tiles, -rng, rng)
-            q = jnp.floor(tiles).astype(jnp.int32)
-            cell_r0 = (
-                jnp.arange(cy, dtype=jnp.int32)[:, None, None] * th - th // 2
-            )
-            cell_c0 = (
-                jnp.arange(cx, dtype=jnp.int32)[None, :, None] * tw - tw // 2
-            )
-            oy = _corner_stack(q[..., 1]) + cell_r0 + pad_y
-            ox = _corner_stack(q[..., 0]) + cell_c0 + pad_x
-            sy = _corner_stack(tiles[..., 1]).astype(jnp.float32)
-            sx = _corner_stack(tiles[..., 0]).astype(jnp.float32)
-            return oy, ox, sy, sx
+        def frame_inputs(frame, sign):
+            tiles = jnp.clip(_tile_mean(sign * flow, th, tw), -rng, rng)
+            cand_y, cand_x, assign = _candidates(tiles, k, rng)
+            idx = assign.reshape(-1)
+            sy = tiles[..., 1].astype(jnp.float32).reshape(-1)
+            sx = tiles[..., 0].astype(jnp.float32).reshape(-1)
+            padded = jnp.pad(
+                frame,
+                ((pad_y, pad_y + th + 16), (pad_x, pad_x + tw + 32), (0, 0)),
+                mode="edge",
+            ).reshape(h + 2 * pad_y + th + 16, -1)
+            slabs = [
+                jax.lax.dynamic_slice(
+                    padded,
+                    (
+                        pad_y - hh + cand_y[i],
+                        (pad_x - hw + cand_x[i]) * LANES,
+                    ),
+                    (rs, cs),
+                )
+                for i in range(k)
+            ]
+            return jnp.stack(slabs), idx, sy, sx, cand_y, cand_x
 
-        oy_a, ox_a, sy_a, sx_a = prefetch(-t_arr[0])
-        oy_b, ox_b, sy_b, sx_b = prefetch(1.0 - t_arr[0])
-
-        ap = jnp.pad(
-            frame_a, ((pad_y, pad_y + th), (pad_x, pad_x + tw), (0, 0)), mode="edge"
-        ).reshape(h + 2 * pad_y + th, -1)
-        bp = jnp.pad(
-            frame_b, ((pad_y, pad_y + th), (pad_x, pad_x + tw), (0, 0)), mode="edge"
-        ).reshape(h + 2 * pad_y + th, -1)
+        st_a, idx_a, sy_a, sx_a, cya, cxa = frame_inputs(frame_a, -t_arr[0])
+        st_b, idx_b, sy_b, sx_b, cyb, cxb = frame_inputs(frame_b, 1.0 - t_arr[0])
+        stack = jnp.concatenate([st_a, st_b], axis=0)
 
         out = call(
-            oy_a, ox_a, sy_a, sx_a, oy_b, ox_b, sy_b, sx_b, t_arr, ap, bp
+            idx_a, sy_a, sx_a, cya, cxa, idx_b, sy_b, sx_b, cyb, cxb, t_arr,
+            stack,
         )
-        hh, hw = th // 2, tw // 2
         out = out[hh : hh + h, hw * LANES : (hw + w) * LANES]
         return out.reshape(h, w, LANES)
 
@@ -249,6 +261,7 @@ def soft_warp_blend(
     time_t,
     tile: tuple = (8, 128),
     rng: int = 48,
+    k: int = 8,
 ) -> jax.Array:
     """Overlapped-tile MC blend: u8 [H, W, 4] × 2 + dense flow [H, W, 2] →
     u8 [H, W, 4]. H must divide by tile[0] and W by tile[1] (1080p/4K do);
@@ -262,7 +275,7 @@ def soft_warp_blend(
     th, tw = tile
     if h % th or w % tw:
         raise ValueError(f"shape ({h}, {w}) must tile by {tile}")
-    return _build(h, w, th, tw, rng)(frame_a, frame_b, flow, time_t)
+    return _build(h, w, th, tw, rng, k)(frame_a, frame_b, flow, time_t)
 
 
 # ---------------------------------------------------------------------------
@@ -272,7 +285,7 @@ def soft_warp_blend(
 
 def soft_warp_blend_ref(
     a_u8: np.ndarray, b_u8: np.ndarray, flow: np.ndarray, time_t: float,
-    tile: tuple = (8, 128), rng: int = 48,
+    tile: tuple = (8, 128), rng: int = 48, k: int = 8,
 ) -> np.ndarray:
     """Caveat: per-tile mean motions are floored to integer block offsets;
     when a tile mean lands EXACTLY on an integer, numpy's and XLA's
@@ -297,20 +310,27 @@ def soft_warp_blend_ref(
         )
         tiles = np.clip(tiles, -rng, rng)
         q = np.floor(tiles).astype(np.int64)
-        qy_c = corners(q[..., 1])
-        qx_c = corners(q[..., 0])
+        side = 2 * rng + 2
+        ids = ((q[..., 1] + rng) * side + (q[..., 0] + rng)).reshape(-1)
+        hist = np.bincount(ids, minlength=side * side)
+        # stable top-k matching lax.top_k (descending value, ascending index)
+        top = np.lexsort((np.arange(side * side), -hist))[:k]
+        cand_y = top // side - rng
+        cand_x = top % side - rng
+        d2 = (q[..., 1, None] - cand_y) ** 2 + (q[..., 0, None] - cand_x) ** 2
+        assign = np.argmin(d2, axis=-1)
+        idx_c = corners(assign)
         sy_c = corners(tiles[..., 1])
         sx_c = corners(tiles[..., 0])
-        for cy in range(ty + 1):
-            for cx_ in range(tx + 1):
-                r0, c0 = cy * th - th // 2, cx_ * tw - tw // 2
+        for cyy in range(ty + 1):
+            for cxx in range(tx + 1):
                 for lr in range(th):
-                    gr = r0 + lr
+                    gr = cyy * th - th // 2 + lr
                     if not 0 <= gr < h:
                         continue
                     fyv = (lr + 0.5) / th
                     for lc in range(tw):
-                        gc = c0 + lc
+                        gc = cxx * tw - tw // 2 + lc
                         if not 0 <= gc < w:
                             continue
                         fxv = (lc + 0.5) / tw
@@ -319,25 +339,25 @@ def soft_warp_blend_ref(
                             fyv * (1 - fxv), fyv * fxv,
                         )
                         sm_y = (
-                            (1 - fyv) * ((1 - fxv) * sy_c[0][cy, cx_] + fxv * sy_c[1][cy, cx_])
-                            + fyv * ((1 - fxv) * sy_c[2][cy, cx_] + fxv * sy_c[3][cy, cx_])
+                            (1 - fyv) * ((1 - fxv) * sy_c[0][cyy, cxx] + fxv * sy_c[1][cyy, cxx])
+                            + fyv * ((1 - fxv) * sy_c[2][cyy, cxx] + fxv * sy_c[3][cyy, cxx])
                         )
                         sm_x = (
-                            (1 - fyv) * ((1 - fxv) * sx_c[0][cy, cx_] + fxv * sx_c[1][cy, cx_])
-                            + fyv * ((1 - fxv) * sx_c[2][cy, cx_] + fxv * sx_c[3][cy, cx_])
+                            (1 - fyv) * ((1 - fxv) * sx_c[0][cyy, cxx] + fxv * sx_c[1][cyy, cxx])
+                            + fyv * ((1 - fxv) * sx_c[2][cyy, cxx] + fxv * sx_c[3][cyy, cxx])
                         )
                         for c in range(4):
-                            qy = qy_c[c][cy, cx_]
-                            qx = qx_c[c][cy, cx_]
-                            fy = np.clip(sm_y - qy, 0.0, 1.0)
-                            fx = np.clip(sm_x - qx, 0.0, 1.0)
+                            ki = idx_c[c][cyy, cxx]
+                            qy, qx = cand_y[ki], cand_x[ki]
+                            fyf = np.clip(sm_y - qy, 0.0, 1.0)
+                            fxf = np.clip(sm_x - qx, 0.0, 1.0)
                             ry = pad + gr + qy
                             rx = pad + gc + qx
                             v = (
-                                ip[ry, rx] * (1 - fy) * (1 - fx)
-                                + ip[ry, rx + 1] * (1 - fy) * fx
-                                + ip[ry + 1, rx] * fy * (1 - fx)
-                                + ip[ry + 1, rx + 1] * fy * fx
+                                ip[ry, rx] * (1 - fyf) * (1 - fxf)
+                                + ip[ry, rx + 1] * (1 - fyf) * fxf
+                                + ip[ry + 1, rx] * fyf * (1 - fxf)
+                                + ip[ry + 1, rx + 1] * fyf * fxf
                             )
                             out[gr, gc] += wgt * bw[c] * v
     return np.clip(np.round(out), 0, 255).astype(np.uint8)

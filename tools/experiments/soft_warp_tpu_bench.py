@@ -91,5 +91,96 @@ def main() -> None:
         f">2: {(d > 2).mean()*100:.3f}%")
 
 
+def split_profile() -> None:
+    """Extraction vs kernel split: is the cost the 16 lane-misaligned
+    dynamic_slices (XLA) or the Pallas grid itself?"""
+    import os
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from nu_scaler_tpu.bench.harness import generate_test_pattern
+    from nu_scaler_tpu.kernels import soft_warp_pallas as SW
+    from nu_scaler_tpu.ops import interpolate as I
+    from nu_scaler_tpu.utils.tracing import device_timer, fetch_overhead_s
+
+    ov = fetch_overhead_s()
+    h, w = 1080, 1920
+    img = generate_test_pattern(w, h)
+    a = jnp.asarray(img)
+    b = jnp.asarray(np.roll(img, 5, axis=1))
+    flow = I.compute_flow_fast(a, b)
+    flow.block_until_ready()
+
+    th, tw, rng_, k = 8, 128, 48, 8
+    ty, tx = h // th, w // tw
+    cy, cx = ty + 1, tx + 1
+    hh, hw = th // 2, tw // 2
+    pad_y, pad_x = rng_ + hh + 2, rng_ + hw + 2
+    rs = cy * th + 16
+    cs = (cx * tw + 32) * SW.LANES
+
+    def extraction_only(fa):
+        t_arr = jnp.asarray([0.5], jnp.float32)
+        outs = []
+        for frame, sign in ((fa, -t_arr[0]), (b, 1.0 - t_arr[0])):
+            tiles = jnp.clip(SW._tile_mean(sign * flow, th, tw), -rng_, rng_)
+            cand_y, cand_x, assign = SW._candidates(tiles, k, rng_)
+            padded = jnp.pad(
+                frame,
+                ((pad_y, pad_y + th + 16), (pad_x, pad_x + tw + 32), (0, 0)),
+                mode="edge",
+            ).reshape(h + 2 * pad_y + th + 16, -1)
+            outs.append(
+                jnp.stack([
+                    jax.lax.dynamic_slice(
+                        padded,
+                        (pad_y - hh + cand_y[i], (pad_x - hw + cand_x[i]) * SW.LANES),
+                        (rs, cs),
+                    )
+                    for i in range(k)
+                ])
+            )
+        return jnp.concatenate(outs, axis=0)
+
+    f = jax.jit(extraction_only)
+
+    def chain(u8, out):
+        v = jnp.sum(jnp.abs(out.reshape(-1).astype(jnp.float32) - 0.37)) % 2.0
+        return jnp.clip(u8.astype(jnp.float32) + v, 0, 255).astype(jnp.uint8)
+
+    t = device_timer(lambda s: chain(s, f(s)), a, 10, ov)
+    log(f"slab extraction alone  : {t*1000:7.3f} ms (16 dynamic_slices + pads)")
+
+    # row-aligned-only extraction (lane offset zeroed): how much is the
+    # misaligned LANE offset?
+    def extraction_row_only(fa):
+        padded = jnp.pad(
+            fa, ((pad_y, pad_y + th + 16), (pad_x, pad_x + tw + 32), (0, 0)),
+            mode="edge",
+        ).reshape(h + 2 * pad_y + th + 16, -1)
+        tiles = jnp.clip(SW._tile_mean(-0.5 * flow, th, tw), -rng_, rng_)
+        cand_y, cand_x, _ = SW._candidates(tiles, k, rng_)
+        return jnp.stack([
+            jax.lax.dynamic_slice(
+                padded, (pad_y - hh + cand_y[i], 0), (rs, cs)
+            )
+            for i in range(2 * k)
+        ] if False else [
+            jax.lax.dynamic_slice(
+                padded, (pad_y - hh + cand_y[i % k], 0), (rs, cs)
+            )
+            for i in range(2 * k)
+        ])
+
+    f2 = jax.jit(extraction_row_only)
+    t = device_timer(lambda s: chain(s, f2(s)), a, 10, ov)
+    log(f"row-only extraction    : {t*1000:7.3f} ms (lane offset = 0)")
+
+
 if __name__ == "__main__":
-    main()
+    import os as _os
+
+    if _os.environ.get("SW_SPLIT"):
+        split_profile()
+    else:
+        main()
