@@ -147,6 +147,15 @@ def make_model(arch: str, stages: int):
             jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32)
         )
         return model, params
+    if arch == "tpu4b2":
+        # tpu4 with blocks=2: one residual block fewer (~0.35 ms of the
+        # serving frame) — the r3 speed/quality trade candidate for clearing
+        # the 240 fps target with margin
+        model = el.ESRGANLiteTPU(upscale=2**stages, stride=4, features=128, blocks=2)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32)
+        )
+        return model, params
     if arch == "tpu8":
         # trunk at 1/8 res (135p), 128 channels, sparse fixed base: the
         # fastest end-to-end serving config of tools/esrgan_arch_sweep.py
@@ -192,6 +201,20 @@ def train(
     if restored is not None:
         params, start = restored
         print(f"resumed from step {start}")
+    elif arch == "tpu4b2":
+        # warm start from the trained tpu4 checkpoint: identical structure
+        # minus block2 (head/blocks/trunk/tail shapes match), so the net
+        # starts near the 3-block optimum instead of from scratch
+        donor = load_checkpoint(stages, "tpu4")
+        if donor is not None:
+            dp = donor[0]["params"] if "params" in donor[0] else donor[0]
+            wp = params["params"] if "params" in params else params
+            for name in wp:
+                if name in dp:
+                    wp[name] = jax.tree_util.tree_map(
+                        lambda a: jnp.asarray(np.asarray(a)), dp[name]
+                    )
+            print(f"warm-started from tpu4 step {donor[1]} (block2 dropped)")
     opt = optax.adam(lr)
     step_fn = el.make_train_step(model, opt, loss_kind)
     opt_state = opt.init(params)
@@ -252,7 +275,10 @@ if __name__ == "__main__":
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--stages", type=int, default=1)
     p.add_argument("--lr", type=float, default=2e-4)
-    p.add_argument("--arch", default="lite", choices=["lite", "tpu", "tpu4", "tpu8", "tpu8w"])
+    p.add_argument(
+        "--arch", default="lite",
+        choices=["lite", "tpu", "tpu4", "tpu4b2", "tpu8", "tpu8w"],
+    )
     p.add_argument("--data", default="video", choices=["video", "synthetic"])
     p.add_argument("--crop", type=int, default=96)
     p.add_argument("--loss", default="l1", choices=["l1", "l1_grad"])
