@@ -358,6 +358,7 @@ def main() -> None:
         log(f"fsr bench failed: {e}")
 
     # learned tier: serving fps + held-out quality vs lanczos3 (VERDICT r1 #3)
+    efn = None
     try:
         from nu_scaler_tpu.models import esrgan_lite as el
 
@@ -393,8 +394,13 @@ def main() -> None:
     try:
         from nu_scaler_tpu.models.data import eval_vs_lanczos3
 
-        model_fn = jax.jit(lambda x: el.ESRGANLiteTPU(upscale=2, stride=4, features=128).apply(
-            __import__("nu_scaler_tpu.models.train", fromlist=["load_checkpoint"]).load_checkpoint(1, "tpu4")[0], x))
+        # evaluate the arch the quality tier actually serves (ladder head)
+        served_arch = getattr(efn, "arch", None) or "tpu4"
+        arch_kw = dict(el._ARCH_LADDER["quality"]).get(
+            served_arch, dict(stride=4, features=128)
+        )
+        model_fn = jax.jit(lambda x: el.ESRGANLiteTPU(upscale=2, **arch_kw).apply(
+            __import__("nu_scaler_tpu.models.train", fromlist=["load_checkpoint"]).load_checkpoint(1, served_arch)[0], x))
         q = eval_vs_lanczos3(model_fn, scale=2, seeds=(900, 901))
         extras["esrgan_psnr_delta_db_vs_lanczos3"] = round(q["psnr_delta_db"], 2)
         extras["esrgan_ssim_delta_vs_lanczos3"] = round(q["ssim_delta"], 4)

@@ -183,8 +183,125 @@ def _kernel(
     )
 
 
+def _kernel_strip(
+    # scalar prefetch: per frame FLAT tile arrays + cand offsets; t; then
+    # per-cell-row candidate-activity flags [Cy*2K] (computed in XLA from
+    # the corner-assignment field — the kernel DMAs only slabs active
+    # somewhere in its row).
+    idx_a, sy_a, sx_a, cy_a, cx_a, idx_b, sy_b, sx_b, cy_b, cx_b, t_ref,
+    act_ref,
+    # input: slab stack [2K, RS, CS] u8 (HBM)
+    stack_hbm,
+    # output: one ROW of cells per grid step [th, Cx·tw·LANES]
+    out_ref,
+    # scratch
+    slab, acc, smy, smx, sem,
+    th, tw, k, ty, tx,
+):
+    """Row-strip variant of `_kernel`: grid (Cy,) instead of (Cy, Cx).
+
+    The cell-grid kernel is DMA-latency-bound: ~2176 cells × (1-4
+    serialized 10 KB copy→wait chains) ≈ 2.7 ms at 1080p. One grid step per
+    CELL ROW amortizes that: ≤2K conditional DMAs per row of 133 KB each
+    (~544 total at 1080p instead of ~6.5K), with the same per-cell math —
+    the v2 kernel's numerics (and its golden) are unchanged.
+    """
+    ci = pl.program_id(0)
+    cx_cells = tx + 1
+    wl = tw * LANES
+
+    def corner_ix(dy, dx, j):
+        ti = jnp.clip(ci - 1 + dy, 0, ty - 1)
+        tj = min(max(j - 1 + dx, 0), tx - 1)  # j is a Python int
+        return ti * tx + tj
+
+    ly = jax.lax.broadcasted_iota(jnp.int32, (th, wl), 0).astype(jnp.float32)
+    lx = (jax.lax.broadcasted_iota(jnp.int32, (th, wl), 1) // LANES).astype(
+        jnp.float32
+    )
+    fy = (ly + 0.5) * (1.0 / th)
+    fx = (lx + 0.5) * (1.0 / tw)
+    basis = (
+        (1.0 - fy) * (1.0 - fx),
+        (1.0 - fy) * fx,
+        fy * (1.0 - fx),
+        fy * fx,
+    )
+
+    acc[...] = jnp.zeros_like(acc)
+
+    for f, (idx, sy, sx, cnd_y, cnd_x, wgt) in enumerate((
+        (idx_a, sy_a, sx_a, cy_a, cx_a, 1.0 - t_ref[0]),
+        (idx_b, sy_b, sx_b, cy_b, cx_b, t_ref[0]),
+    )):
+        # smooth motion fields for every cell of the row, once per frame
+        for j in range(cx_cells):
+            corner = [corner_ix(0, 0, j), corner_ix(0, 1, j),
+                      corner_ix(1, 0, j), corner_ix(1, 1, j)]
+            smy[:, j * wl : (j + 1) * wl] = (
+                (1.0 - fy) * ((1.0 - fx) * sy[corner[0]] + fx * sy[corner[1]])
+                + fy * ((1.0 - fx) * sy[corner[2]] + fx * sy[corner[3]])
+            )
+            smx[:, j * wl : (j + 1) * wl] = (
+                (1.0 - fy) * ((1.0 - fx) * sx[corner[0]] + fx * sx[corner[1]])
+                + fy * ((1.0 - fx) * sx[corner[2]] + fx * sx[corner[3]])
+            )
+
+        for kk in range(k):
+            row_active = act_ref[ci * 2 * k + f * k + kk] > 0
+
+            @pl.when(row_active)
+            def _(kk=kk, f=f):
+                cp = pltpu.make_async_copy(
+                    stack_hbm.at[f * k + kk, pl.ds(ci * th, th + 8), :],
+                    slab,
+                    sem,
+                )
+                cp.start()
+                cp.wait()
+
+            for j in range(cx_cells):
+                corner = [corner_ix(0, 0, j), corner_ix(0, 1, j),
+                          corner_ix(1, 0, j), corner_ix(1, 1, j)]
+                corner_idx = [idx[corner[c]] for c in range(4)]
+                flags = [corner_idx[c] == kk for c in range(4)]
+                active = jnp.logical_or(
+                    jnp.logical_or(flags[0], flags[1]),
+                    jnp.logical_or(flags[2], flags[3]),
+                )
+
+                @pl.when(active)
+                def _(kk=kk, j=j, flags=flags, cnd_y=cnd_y, cnd_x=cnd_x,
+                      wgt=wgt):
+                    w_k = jnp.where(flags[0], basis[0], 0.0)
+                    for c in range(1, 4):
+                        w_k = w_k + jnp.where(flags[c], basis[c], 0.0)
+                    cw = slice(j * wl, (j + 1) * wl)
+                    fyk = jnp.clip(
+                        smy[:, cw] - cnd_y[kk].astype(jnp.float32), 0.0, 1.0
+                    )
+                    fxk = jnp.clip(
+                        smx[:, cw] - cnd_x[kk].astype(jnp.float32), 0.0, 1.0
+                    )
+                    sl = slab[:, j * wl : (j + 1) * wl + 2 * LANES].astype(
+                        jnp.int32
+                    ).astype(jnp.float32)
+                    top = sl[:th, :wl] + fxk * (
+                        sl[:th, LANES : wl + LANES] - sl[:th, :wl]
+                    )
+                    bot = sl[1 : th + 1, :wl] + fxk * (
+                        sl[1 : th + 1, LANES : wl + LANES] - sl[1 : th + 1, :wl]
+                    )
+                    acc[:, cw] += (wgt * w_k) * (top + fyk * (bot - top))
+
+    out_ref[...] = (
+        jnp.round(jnp.clip(acc[...], 0.0, 255.0)).astype(jnp.int32).astype(jnp.uint8)
+    )
+
+
 @functools.lru_cache(maxsize=16)
-def _build(h: int, w: int, th: int, tw: int, rng: int, k: int):
+def _build(h: int, w: int, th: int, tw: int, rng: int, k: int,
+           strip: bool = True):
     ty, tx = h // th, w // tw
     cy, cx = ty + 1, tx + 1
     hh, hw = th // 2, tw // 2
@@ -193,25 +310,49 @@ def _build(h: int, w: int, th: int, tw: int, rng: int, k: int):
     rs = cy * th + 16  # slab-stack rows (+16: the 8-aligned halo block)
     cs = (cx * tw + 32) * LANES  # +32 px: the 128-lane halo block
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=11,
-        grid=(cy, cx),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],  # slab stack (HBM)
-        out_specs=pl.BlockSpec(
-            (th, tw * LANES), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((th + 8, (tw + 32) * LANES), jnp.uint8),
-            pltpu.VMEM((th, tw * LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
-    )
-    call = pl.pallas_call(
-        functools.partial(_kernel, th=th, tw=tw, k=k, ty=ty, tx=tx),
-        out_shape=jax.ShapeDtypeStruct((cy * th, cx * tw * LANES), jnp.uint8),
-        grid_spec=grid_spec,
-        interpret=jax.default_backend() == "cpu",
-    )
+    if strip:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=12,
+            grid=(cy,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],  # slab stack (HBM)
+            out_specs=pl.BlockSpec(
+                (th, cx * tw * LANES), lambda i, *_: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((th + 8, cs), jnp.uint8),           # strip slab
+                pltpu.VMEM((th, cx * tw * LANES), jnp.float32),  # acc
+                pltpu.VMEM((th, cx * tw * LANES), jnp.float32),  # smooth y
+                pltpu.VMEM((th, cx * tw * LANES), jnp.float32),  # smooth x
+                pltpu.SemaphoreType.DMA,
+            ],
+        )
+        call = pl.pallas_call(
+            functools.partial(_kernel_strip, th=th, tw=tw, k=k, ty=ty, tx=tx),
+            out_shape=jax.ShapeDtypeStruct((cy * th, cx * tw * LANES), jnp.uint8),
+            grid_spec=grid_spec,
+            interpret=jax.default_backend() == "cpu",
+        )
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=11,
+            grid=(cy, cx),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],  # slab stack (HBM)
+            out_specs=pl.BlockSpec(
+                (th, tw * LANES), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((th + 8, (tw + 32) * LANES), jnp.uint8),
+                pltpu.VMEM((th, tw * LANES), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )
+        call = pl.pallas_call(
+            functools.partial(_kernel, th=th, tw=tw, k=k, ty=ty, tx=tx),
+            out_shape=jax.ShapeDtypeStruct((cy * th, cx * tw * LANES), jnp.uint8),
+            grid_spec=grid_spec,
+            interpret=jax.default_backend() == "cpu",
+        )
 
     def fn(frame_a, frame_b, flow, time_t):
         t_arr = jnp.asarray([time_t], jnp.float32)
@@ -238,16 +379,36 @@ def _build(h: int, w: int, th: int, tw: int, rng: int, k: int):
                 )
                 for i in range(k)
             ]
-            return jnp.stack(slabs), idx, sy, sx, cand_y, cand_x
+            # per-cell-row candidate activity [Cy, K]: a row's cells touch a
+            # candidate iff some corner tile (rows ci-1, ci clamped) assigns
+            # to it — lets the strip kernel skip inactive slab DMAs entirely
+            asg = assign
+            rowpair = jnp.concatenate(
+                [asg[:1], asg, asg[-1:]], axis=0
+            )  # [ty+2, tx] edge-clamped
+            onehot = (rowpair[..., None] == jnp.arange(k)).astype(jnp.int32)
+            row_hit = (onehot[:-1].sum(axis=1) + onehot[1:].sum(axis=1))
+            return jnp.stack(slabs), idx, sy, sx, cand_y, cand_x, row_hit
 
-        st_a, idx_a, sy_a, sx_a, cya, cxa = frame_inputs(frame_a, -t_arr[0])
-        st_b, idx_b, sy_b, sx_b, cyb, cxb = frame_inputs(frame_b, 1.0 - t_arr[0])
+        st_a, idx_a, sy_a, sx_a, cya, cxa, act_a = frame_inputs(
+            frame_a, -t_arr[0]
+        )
+        st_b, idx_b, sy_b, sx_b, cyb, cxb, act_b = frame_inputs(
+            frame_b, 1.0 - t_arr[0]
+        )
         stack = jnp.concatenate([st_a, st_b], axis=0)
 
-        out = call(
-            idx_a, sy_a, sx_a, cya, cxa, idx_b, sy_b, sx_b, cyb, cxb, t_arr,
-            stack,
-        )
+        if strip:
+            act = jnp.concatenate([act_a, act_b], axis=1).reshape(-1)
+            out = call(
+                idx_a, sy_a, sx_a, cya, cxa, idx_b, sy_b, sx_b, cyb, cxb,
+                t_arr, act, stack,
+            )
+        else:
+            out = call(
+                idx_a, sy_a, sx_a, cya, cxa, idx_b, sy_b, sx_b, cyb, cxb,
+                t_arr, stack,
+            )
         out = out[hh : hh + h, hw * LANES : (hw + w) * LANES]
         return out.reshape(h, w, LANES)
 

@@ -141,7 +141,7 @@ def test_performance_ladder_prefers_stride8():
     fast = el.make_fast_upscaler(32, 64, 64, 128)
     assert fast.arch in ("tpu8", "tpu8w"), fast.arch
     qual = el.make_pretrained_upscaler(32, 64, 64, 128)
-    assert qual.arch in ("tpu4", "tpu", "lite"), qual.arch
+    assert qual.arch in ("tpu4b2", "tpu4", "tpu", "lite"), qual.arch
     # both must honor the u8 RGBA contract
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.integers(0, 256, (32, 64, 4), np.uint8))
@@ -164,7 +164,7 @@ def test_facade_dlss_performance_uses_fast_ladder():
     assert getattr(up._fn, "arch", None) in ("tpu8", "tpu8w")
     up_q = nsc.NuScaler.with_technology("dlss", "ultra").upscaler
     up_q.initialize(64, 32, 128, 64)
-    assert getattr(up_q._fn, "arch", None) in ("tpu4", "tpu", "lite")
+    assert getattr(up_q._fn, "arch", None) in ("tpu4b2", "tpu4", "tpu", "lite")
 
 
 def test_sparse_base_matches_dense():

@@ -60,10 +60,19 @@ def main() -> None:
             u8.astype(jnp.int32) + out[0, 0, 0].astype(jnp.int32) % 2, 0, 255
         ).astype(jnp.uint8)
 
-    # Pallas soft warp alone (flow fixed)
-    pall = jax.jit(lambda fa: SW.soft_warp_blend(fa, b, flow, 0.5))
+    # Pallas soft warp alone (flow fixed): strip-grid (v3) vs cell-grid (v2)
+    strip_fn = SW._build(h, w, 8, 128, 48, 8, strip=True)
+    cell_fn = SW._build(h, w, 8, 128, 48, 8, strip=False)
+    pall = jax.jit(lambda fa: strip_fn(fa, b, flow, 0.5))
     t = device_timer(lambda s: chain(s, pall(s)), a, 10, ov)
-    log(f"pallas soft warp alone : {t*1000:7.3f} ms")
+    log(f"pallas strip soft warp : {t*1000:7.3f} ms")
+    pall_cell = jax.jit(lambda fa: cell_fn(fa, b, flow, 0.5))
+    t = device_timer(lambda s: chain(s, pall_cell(s)), a, 10, ov)
+    log(f"pallas cell soft warp  : {t*1000:7.3f} ms")
+    d = np.abs(
+        np.asarray(pall(a)).astype(int) - np.asarray(pall_cell(a)).astype(int)
+    )
+    log(f"strip vs cell: max {d.max()}, mean {d.mean():.4f}")
 
     xla = jax.jit(
         lambda fa: I.warp_blend_fast(fa, b, flow, 0.5, overlap=True, pallas_ok=False)
