@@ -62,14 +62,44 @@ def _tile_mean(field: jax.Array, th: int, tw: int) -> jax.Array:
     return v.reshape(ty, th, tx, tw, 2).mean(axis=(1, 3))
 
 
+def hist_topk(q: jax.Array, side: int, k: int) -> jax.Array:
+    """Top-K bins of the 2-D integer-offset histogram, scatter- and
+    sort-free. `q` is the floored [Ty, Tx, 2] (x, y) offset field already
+    shifted to 0..side-1 bin coordinates.
+
+    Semantically identical to
+    ``top_k(zeros(side²).at[ids].add(1), k)[1]`` (descending count, ties →
+    ascending bin index) but built from TPU-friendly primitives: the
+    histogram is an MXU matmul of the two one-hot factors (scatter-add
+    measured ~0.5 ms/frame at 1080p on v5e), and the top-k is k chained
+    argmaxes (lax.top_k lowers to a ~10k-element sort, similar cost).
+    jnp.argmax returns the FIRST maximal index, matching top_k's tie order.
+    """
+    qx = q[..., 0].reshape(-1)
+    qy = q[..., 1].reshape(-1)
+    n = qx.shape[0]
+    bins = jax.lax.broadcasted_iota(jnp.int32, (side, n), 0)
+    oh_y = (bins == qy[None, :]).astype(jnp.float32)  # [side, n]
+    oh_x = (bins == qx[None, :]).astype(jnp.float32)
+    # hist2d[i, j] = #tiles with (qy == i) & (qx == j); f32 counts are exact
+    hist = jnp.dot(
+        oh_y, oh_x.T, preferred_element_type=jnp.float32
+    ).reshape(-1)  # flat index i * side + j == the scatter version's ids
+    flat_bins = jax.lax.broadcasted_iota(jnp.int32, (1, side * side), 1)[0]
+    tops = []
+    for _ in range(k):
+        t = jnp.argmax(hist).astype(jnp.int32)
+        tops.append(t)
+        hist = jnp.where(flat_bins == t, -1.0, hist)
+    return jnp.stack(tops)
+
+
 def _candidates(tiles: jax.Array, k: int, rng: int):
     """Global top-K integer offsets + per-tile nearest assignment — the same
     selection as ops/interpolate._soft_warp_accumulate."""
     q = jnp.floor(tiles).astype(jnp.int32)
     side = 2 * rng + 2
-    ids = (q[..., 1] + rng) * side + (q[..., 0] + rng)
-    hist = jnp.zeros((side * side,), jnp.int32).at[ids.reshape(-1)].add(1)
-    _, top = jax.lax.top_k(hist, k)
+    top = hist_topk(q + rng, side, k)
     cand_y = top // side - rng
     cand_x = top % side - rng
     d2 = (q[..., 1, None] - cand_y) ** 2 + (q[..., 0, None] - cand_x) ** 2
@@ -200,15 +230,37 @@ def _kernel_strip(
 ):
     """Row-strip variant of `_kernel`: grid (Cy,) instead of (Cy, Cx).
 
-    The cell-grid kernel is DMA-latency-bound: ~2176 cells × (1-4
-    serialized 10 KB copy→wait chains) ≈ 2.7 ms at 1080p. One grid step per
-    CELL ROW amortizes that: ≤2K conditional DMAs per row of 133 KB each
-    (~544 total at 1080p instead of ~6.5K), with the same per-cell math —
-    the v2 kernel's numerics (and its golden) are unchanged.
+    v3 issued ≤2K conditional 133 KB DMAs per cell row, each a serialized
+    start→wait chain — still ~540 latency-bound round trips at 1080p. v4
+    copies the WHOLE stack's row window in ONE strided DMA per row
+    ([2K, th+8, CS] ≈ 2.1 MB) and double-buffers it across grid steps, so
+    row ci+1's copy overlaps row ci's compute: the kernel pays bandwidth
+    (~290 MB/pair ≈ 0.36 ms at v5e HBM) instead of per-slab latency. The
+    activity flags now gate only the per-candidate VPU work. Per-cell math
+    (and the golden) unchanged from v2.
     """
     ci = pl.program_id(0)
+    n_rows = pl.num_programs(0)
+    parity = jax.lax.rem(ci, 2)
     cx_cells = tx + 1
     wl = tw * LANES
+
+    def stack_dma(slot, row):
+        return pltpu.make_async_copy(
+            stack_hbm.at[:, pl.ds(row * th, th + 8), :],
+            slab.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(ci == 0)
+    def _():
+        stack_dma(0, 0).start()
+
+    @pl.when(ci + 1 < n_rows)
+    def _():
+        stack_dma(jax.lax.rem(ci + 1, 2), ci + 1).start()
+
+    stack_dma(parity, ci).wait()
 
     def corner_ix(dy, dx, j):
         ti = jnp.clip(ci - 1 + dy, 0, ty - 1)
@@ -250,28 +302,21 @@ def _kernel_strip(
         for kk in range(k):
             row_active = act_ref[ci * 2 * k + f * k + kk] > 0
 
-            @pl.when(row_active)
-            def _(kk=kk, f=f):
-                cp = pltpu.make_async_copy(
-                    stack_hbm.at[f * k + kk, pl.ds(ci * th, th + 8), :],
-                    slab,
-                    sem,
-                )
-                cp.start()
-                cp.wait()
-
             for j in range(cx_cells):
                 corner = [corner_ix(0, 0, j), corner_ix(0, 1, j),
                           corner_ix(1, 0, j), corner_ix(1, 1, j)]
                 corner_idx = [idx[corner[c]] for c in range(4)]
                 flags = [corner_idx[c] == kk for c in range(4)]
-                active = jnp.logical_or(
-                    jnp.logical_or(flags[0], flags[1]),
-                    jnp.logical_or(flags[2], flags[3]),
+                active = jnp.logical_and(
+                    row_active,
+                    jnp.logical_or(
+                        jnp.logical_or(flags[0], flags[1]),
+                        jnp.logical_or(flags[2], flags[3]),
+                    ),
                 )
 
                 @pl.when(active)
-                def _(kk=kk, j=j, flags=flags, cnd_y=cnd_y, cnd_x=cnd_x,
+                def _(kk=kk, f=f, j=j, flags=flags, cnd_y=cnd_y, cnd_x=cnd_x,
                       wgt=wgt):
                     w_k = jnp.where(flags[0], basis[0], 0.0)
                     for c in range(1, 4):
@@ -283,9 +328,9 @@ def _kernel_strip(
                     fxk = jnp.clip(
                         smx[:, cw] - cnd_x[kk].astype(jnp.float32), 0.0, 1.0
                     )
-                    sl = slab[:, j * wl : (j + 1) * wl + 2 * LANES].astype(
-                        jnp.int32
-                    ).astype(jnp.float32)
+                    sl = slab[
+                        parity, f * k + kk, :, j * wl : (j + 1) * wl + 2 * LANES
+                    ].astype(jnp.int32).astype(jnp.float32)
                     top = sl[:th, :wl] + fxk * (
                         sl[:th, LANES : wl + LANES] - sl[:th, :wl]
                     )
@@ -320,11 +365,13 @@ def _build(h: int, w: int, th: int, tw: int, rng: int, k: int,
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((th + 8, cs), jnp.uint8),           # strip slab
+                # double-buffered whole-stack row window (v4): slot × slab ×
+                # rows × lanes; ~2·2K·(th+8)·cs u8 ≈ 4.3 MB at 1080p/(8,128)
+                pltpu.VMEM((2, 2 * k, th + 8, cs), jnp.uint8),
                 pltpu.VMEM((th, cx * tw * LANES), jnp.float32),  # acc
                 pltpu.VMEM((th, cx * tw * LANES), jnp.float32),  # smooth y
                 pltpu.VMEM((th, cx * tw * LANES), jnp.float32),  # smooth x
-                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         )
         call = pl.pallas_call(

@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from nu_scaler_tpu.kernels.soft_warp_pallas import hist_topk
+
 # Defaults chosen to match the reference's Rust-side test constants
 # (wgpu_interpolator.rs: lambda/alpha uniforms; HS lambda 0.1 is its smoothness
 # weight; iteration counts follow its COARSE_ITERATIONS-style constants).
@@ -476,9 +478,9 @@ def _soft_warp_accumulate(
 
     q = jnp.floor(tiles).astype(jnp.int32)
     side = 2 * rng + 2
-    ids = (q[..., 1] + rng) * side + (q[..., 0] + rng)
-    hist = jnp.zeros((side * side,), jnp.int32).at[ids.reshape(-1)].add(1)
-    _, top = jax.lax.top_k(hist, k)
+    # scatter/sort-free top-k (kernels.soft_warp_pallas.hist_topk): the
+    # scatter-add histogram + lax.top_k pair measured ~1.4 ms/pair at 1080p
+    top = hist_topk(q + rng, side, k)
     cand_y = top // side - rng
     cand_x = top % side - rng
     d2 = (q[..., 1, None] - cand_y) ** 2 + (q[..., 0, None] - cand_x) ** 2
@@ -581,9 +583,7 @@ def block_warp_planar(
 
     q = jnp.floor(tiles).astype(jnp.int32)  # integer part (x, y)
     side = 2 * rng + 2
-    ids = (q[..., 1] + rng) * side + (q[..., 0] + rng)  # hash (y, x)
-    hist = jnp.zeros((side * side,), jnp.int32).at[ids.reshape(-1)].add(1)
-    _, top = jax.lax.top_k(hist, k)
+    top = hist_topk(q + rng, side, k)  # scatter/sort-free top-k bins
     cand_y = top // side - rng
     cand_x = top % side - rng
 

@@ -19,7 +19,8 @@ def log(*a):
 
 
 IN_H, IN_W, OUT_H, OUT_W = 1080, 1920, 2160, 3840
-ST, BLOCKS, UP = 4, 3, 2
+ARCH = os.environ.get("ESRGAN_ARCH", "tpu4")  # tpu4 | tpu4b2
+ST, BLOCKS, UP = 4, (2 if ARCH == "tpu4b2" else 3), 2
 R = ST * UP
 
 
@@ -45,7 +46,7 @@ def main() -> None:
     x_u8 = jnp.asarray(img)
     nh, nw = IN_H // ST, IN_W // ST
 
-    params, _ = load_checkpoint(1, "tpu4")
+    params, _ = load_checkpoint(1, ARCH)
     p = params["params"] if "params" in params else params
     head_k = jnp.asarray(expand_in_rgba(np.asarray(p["head"]["kernel"], np.float32), ST, 1 / 255.0))
     head_b = jnp.asarray(np.asarray(p["head"]["bias"], np.float32))
@@ -80,17 +81,17 @@ def main() -> None:
             if upto == 3 + i:
                 return h
         h = _conv(h, bk["trunk"]["kernel"], bk["trunk"]["bias"]) + feat
-        if upto == 6:
+        if upto == 3 + BLOCKS:
             return h
         tail = _conv(h, tail_k, tail_b)
-        if upto == 7:
+        if upto == 4 + BLOCKS:
             return tail
         xpad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
         phases = tail + _conv(xpad, base_k, pad="VALID")
-        if upto == 8:
+        if upto == 5 + BLOCKS:
             return phases
         ph_u8 = jnp.clip(jnp.round(phases[0].astype(jnp.float32)), 0, 255).astype(jnp.uint8)
-        if upto == 9:
+        if upto == 6 + BLOCKS:
             return ph_u8
         rows = [
             ph_u8[..., q * R * 4 : (q + 1) * R * 4].reshape(nh, OUT_W, 4)
@@ -98,10 +99,11 @@ def main() -> None:
         ]
         return jnp.stack(rows, axis=1).reshape(OUT_H, OUT_W, 4)
 
-    names = [
-        "chain floor", "s2d+bf16", "head", "block0", "block1", "block2",
-        "trunk+skip", "tail", "base+add", "quantize", "d2s (full)",
-    ]
+    names = (
+        ["chain floor", "s2d+bf16", "head"]
+        + [f"block{i}" for i in range(BLOCKS)]
+        + ["trunk+skip", "tail", "base+add", "quantize", "d2s (full)"]
+    )
     prev = 0.0
     for upto, name in enumerate(names):
         fn = jax.jit(lambda u8, u=upto: stage(u8, u))
