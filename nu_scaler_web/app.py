@@ -116,6 +116,24 @@ class WebApp:
     def __call__(self, environ, start_response):
         method = environ.get("REQUEST_METHOD", "GET")
         path = environ.get("PATH_INFO", "/")
+        if method == "GET" and not path.startswith("/api"):
+            # HTML frontend (the React SPA role — nu_scaler_web/frontend.py);
+            # page shells are public like the SPA bundle, data loads client-
+            # side from the JSON API below.
+            from nu_scaler_web import frontend
+
+            stats = None
+            if path == "/":
+                stats = self.public_stats({"body": {}, "user": None})[1]["data"]
+            html = frontend.render(path, stats)
+            if html is not None:
+                data = html.encode()
+                start_response(
+                    _STATUS[200],
+                    [("Content-Type", "text/html; charset=utf-8"),
+                     ("Content-Length", str(len(data)))],
+                )
+                return [data]
         try:
             body = self._read_json(environ)
             req = {

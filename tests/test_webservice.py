@@ -290,3 +290,65 @@ def test_live_server_round_trip():
     finally:
         srv.shutdown()
         t.join(timeout=5)
+
+
+# -- HTML frontend (the React SPA role — frontend.py) ----------------------
+
+
+def _get_html(client, path):
+    environ = {
+        "REQUEST_METHOD": "GET", "PATH_INFO": path,
+        "CONTENT_LENGTH": "0", "wsgi.input": io.BytesIO(b""),
+    }
+    captured = {}
+
+    def start_response(status, headers):
+        captured["status"] = int(status.split()[0])
+        captured["headers"] = dict(headers)
+
+    data = b"".join(client.app(environ, start_response))
+    return captured["status"], captured["headers"], data.decode()
+
+
+def test_frontend_pages_render(client):
+    """Every SPA route (`router/routes.jsx`) has a server-rendered shell."""
+    for path, marker in [
+        ("/", "NU Scaler: real-time AI upscaling"),
+        ("/login", "Welcome back"),
+        ("/register", "Create an account"),
+        ("/download", "Download NU Scaler"),
+        ("/admin", "Admin dashboard"),
+        ("/admin/users", "Users"),
+    ]:
+        st, headers, html = _get_html(client, path)
+        assert st == 200, path
+        assert headers["Content-Type"].startswith("text/html"), path
+        assert marker in html, path
+        assert "<nav>" in html  # Navbar.jsx role on every page
+
+
+def test_landing_inlines_live_public_stats(client):
+    client.post("/api/v1/feedback/reviews", {"rating": 4, "comment": "nice"})
+    client.get("/api/v1/download/file/linux")
+    st, _, html = _get_html(client, "/")
+    assert st == 200
+    # server-side render of /api/v1/feedback/stats (LandingPage stat cards)
+    assert ">4.0</div>" in html or ">4</div>" in html  # average rating
+    assert ">1</div>" in html  # downloads / reviews count
+
+
+def test_frontend_unknown_page_is_404_and_api_untouched(client):
+    st, _ = client.get("/nope")
+    assert st == 404
+    st, d = client.get("/api/v1/feedback/stats")
+    assert st == 200 and "data" in d
+
+
+def test_frontend_admin_pages_reference_admin_api(client):
+    """The dashboard shell drives the same admin endpoints the Redux slices
+    used (`features/admin/*Slice.js`)."""
+    _, _, html = _get_html(client, "/admin")
+    assert "/api/admin/metrics/dashboard" in html
+    assert "/api/admin/benchmarks" in html
+    _, _, html = _get_html(client, "/admin/users")
+    assert "/api/admin/users" in html
