@@ -10,11 +10,11 @@ Prints ONE JSON line:
 Methodology: the dev TPU is reached through a tunnel whose host↔device
 round trip is ~29 ms, and whose `block_until_ready` does not reliably fence
 queued work — so per-call wall timing measures the tunnel, not the chip. Each
-config therefore runs ITERS chained pipeline steps inside ONE jitted
+config therefore runs chained pipeline steps inside ONE jitted
 `lax.fori_loop` (the next step consumes a crop of the previous output, a real
-data dependency), with a single scalar fetch at the end; the measured wall
-time minus the independently-measured fetch overhead gives device throughput.
-Details go to stderr.
+data dependency), with a single scalar fetch at the end — timed at TWO trip
+counts (N and 4N) so the constant dispatch/fetch overhead cancels in the
+slope rather than being estimated. Details go to stderr.
 """
 
 from __future__ import annotations
@@ -57,21 +57,16 @@ def fetch_overhead_s(reps: int = 10) -> float:
 
 
 def timed_loop(body, state0, iters: int, overhead_s: float) -> float:
-    """Run `iters` chained steps of `body` in one jitted fori_loop; return
-    seconds per step (device time)."""
+    """Run chained steps of `body` in one jitted fori_loop; return seconds per
+    step (device time). Slope method via tracing.device_timer: the same
+    compiled loop is timed at `iters` and 4×`iters` trip counts and the
+    difference divided — the tunnel dispatch/fetch constant cancels exactly
+    (estimating and subtracting it broke an r3 run when the tunnel was slow:
+    short runs went negative → 1e-9 clamp → 2e10 fps)."""
+    del overhead_s
+    from nu_scaler_tpu.utils.tracing import device_timer
 
-    @jax.jit
-    def run(state):
-        return jax.lax.fori_loop(0, iters, lambda i, s: body(s), state)
-
-    out = run(state0)  # compile + warm
-    probe = jax.jit(lambda s: sum(jnp.sum(x.reshape(-1)[:2].astype(jnp.float32)) for x in jax.tree_util.tree_leaves(s)))
-    float(probe(out))
-    t0 = time.perf_counter()
-    out = run(state0)
-    float(probe(out))
-    dt = time.perf_counter() - t0 - overhead_s
-    return max(dt, 1e-9) / iters
+    return device_timer(body, state0, iters=iters)
 
 
 def make_input(seed: int = 0) -> np.ndarray:
@@ -253,7 +248,7 @@ def main() -> None:
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
     overhead = fetch_overhead_s()
-    log(f"host<->device fetch overhead: {overhead*1000:.2f} ms (subtracted once per run)")
+    log(f"host<->device fetch overhead: {overhead*1000:.2f} ms (diagnostic only; slope timing cancels it)")
     iters = 100 if dev.platform == "tpu" else 5
 
     try:

@@ -865,10 +865,9 @@ def stage_timings_ms(
 ) -> dict:
     """Per-stage device-time breakdown — the per-pass timestamp pairs the
     reference's query set design implied. Keys depend on mode."""
-    from nu_scaler_tpu.utils.tracing import device_timer, fetch_overhead_s
+    from nu_scaler_tpu.utils.tracing import device_timer
 
     a, b = _mk_frames(height, width)
-    overhead = fetch_overhead_s()
     total = calibrated_step_ms(height, width, mode, warp_tile, iters)
     if mode == "blend":
         return {"total_ms": total, "blend_ms": total}
@@ -883,7 +882,7 @@ def stage_timings_ms(
         pert = (flow[..., :1] * 8.0).astype(jnp.int32).astype(jnp.uint8)
         return fb, fb + pert
 
-    flow_ms = device_timer(flow_body, (a, b), iters=iters, overhead_s=overhead) * 1000.0
+    flow_ms = device_timer(flow_body, (a, b), iters=iters) * 1000.0
 
     if fast:
         soft = mode == "flow_soft"
@@ -899,7 +898,5 @@ def stage_timings_ms(
         out = warp_fn(fa, fb, fl, 0.5)
         return fb, out, fl * 0.5 + out[..., :2].astype(jnp.float32) * 1e-6
 
-    warp_ms = (
-        device_timer(warp_body, (a, b, flow0), iters=iters, overhead_s=overhead) * 1000.0
-    )
+    warp_ms = device_timer(warp_body, (a, b, flow0), iters=iters) * 1000.0
     return {"total_ms": total, "flow_ms": flow_ms, "warp_ms": warp_ms}

@@ -51,32 +51,53 @@ def fetch_overhead_s(reps: int = 10) -> float:
     return (time.perf_counter() - t0) / reps
 
 
-def device_timer(body: Callable, state0, iters: int = 50, overhead_s: Optional[float] = None) -> float:
+def device_timer(
+    body: Callable,
+    state0,
+    iters: int = 50,
+    overhead_s: Optional[float] = None,
+    repeats: int = 3,
+) -> float:
     """Seconds per step of `body` (a shape-preserving state→state function)
-    on-device. Chains `iters` steps in one fori_loop so the measurement is
-    compute, not dispatch."""
+    on-device. Chains steps in one fori_loop so the measurement is compute,
+    not dispatch — and times the SAME compiled loop at two trip counts
+    (`iters` and 4×`iters`), dividing the wall-time difference by the step
+    difference. The constant dispatch/fetch/tunnel cost cancels exactly in
+    the slope, instead of being estimated and subtracted (a mis-estimated
+    overhead on a slow tunnel once turned short runs negative → 1e-9 clamps
+    → absurd fps). `overhead_s` is accepted for backward compatibility and
+    ignored. Each trip count is timed `repeats` times; the min (least tunnel
+    noise) is used."""
     import jax
     import jax.numpy as jnp
 
-    if overhead_s is None:
-        overhead_s = fetch_overhead_s()
+    del overhead_s  # slope method — constant overhead cancels, no estimate needed
 
     @jax.jit
-    def run(state):
-        return jax.lax.fori_loop(0, iters, lambda i, s: body(s), state)
+    def run(state, n):
+        # n is traced → ONE compiled program (a while_loop) serves both trip
+        # counts, so per-step cost is identical between the two timings.
+        return jax.lax.fori_loop(0, n, lambda i, s: body(s), state)
 
-    out = run(state0)
     probe = jax.jit(
         lambda s: sum(
             jnp.sum(x.reshape(-1)[:2].astype(jnp.float32))
             for x in jax.tree_util.tree_leaves(s)
         )
     )
-    float(probe(out))
-    t0 = time.perf_counter()
-    out = run(state0)
-    float(probe(out))
-    return max(time.perf_counter() - t0 - overhead_s, 1e-9) / iters
+    n1 = max(int(iters), 1)
+    n2 = 4 * n1
+    float(probe(run(state0, n1)))  # compile + warm
+
+    def once(n: int) -> float:
+        t0 = time.perf_counter()
+        float(probe(run(state0, n)))
+        return time.perf_counter() - t0
+
+    once(n2)  # warm the long path too before timing
+    t1 = min(once(n1) for _ in range(repeats))
+    t2 = min(once(n2) for _ in range(repeats))
+    return max(t2 - t1, 1e-9) / (n2 - n1)
 
 
 class FrameClock:
