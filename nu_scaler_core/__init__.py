@@ -40,6 +40,13 @@ from nu_scaler_core.capture import (
 )
 from nu_scaler_core.facade import NuScaler
 from nu_scaler_core.interpolator import WgpuFrameInterpolator, create_interpolator
+from nu_scaler_core.technologies import (
+    NISUpscaler,
+    PassThroughUpscaler,
+    create_upscaler,
+    is_supported,
+    upscale_image_file,
+)
 from nu_scaler_core.upscaler import (
     PyAdvancedWgpuUpscaler,
     PyFsrUpscaler,
@@ -68,6 +75,11 @@ __all__ = [
     "create_advanced_upscaler",
     "create_fsr_upscaler",
     "create_best_upscaler",
+    "create_upscaler",
+    "is_supported",
+    "upscale_image_file",
+    "PassThroughUpscaler",
+    "NISUpscaler",
     "py_benchmark_upscaler",
     "py_run_comparison_benchmark",
     "UpscalingQuality",

@@ -32,6 +32,12 @@ def _create_upscaler(technology: str, quality: str):
         if t == "dlss" and (quality or "").lower() in ("performance", "balanced"):
             up.learned_prefer = "performance"
         return up
+    if t in ("none", "fsr3", "xess", "nis", "cuda", "vulkan", "gpu"):
+        # legacy G1 technologies — resolved through the registry's fallback
+        # chains (technologies.py; Nu_scale/src/upscale/mod.rs:92-270)
+        from nu_scaler_core.technologies import create_upscaler
+
+        return create_upscaler(t, quality)
     return PyWgpuUpscaler(quality, "nearest")  # fallback
 
 

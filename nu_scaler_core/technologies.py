@@ -1,0 +1,265 @@
+"""Legacy `UpscalingTechnology` registry — the G1 crate's technology enum and
+factory fallback chains (`Nu_scale/src/upscale/mod.rs:24-45` enum,
+`mod.rs:92-270` `create_upscaler`), rebuilt with every technology mapped to a
+REAL TPU tier instead of a mock:
+
+| reference tech (status there)                  | TPU realization here |
+|---|---|
+| FSR — real EASU+RCAS (`upscale/fsr.rs`)        | ``PyFsrUpscaler`` (fused Pallas phase kernel) |
+| FSR3 — ``NotImplementedError`` stub            | FSR pipeline at max sharpness (frame gen lives in the interpolator) |
+| DLSS — mock DLL probe, never loads             | learned QUALITY tier (tpu4/tpu4b2 checkpoints) |
+| XeSS — mock; ``is_supported()`` hardcoded false, upscale body was a nearest-neighbour placeholder (`xess.rs:157-171,256-268`) | learned PERFORMANCE tier (tpu8/tpu8w stride-8 trunks) |
+| NIS — enum arm only, no implementation         | what NIS actually is: classical scaler + sharpen (lanczos/bilinear + RCAS) |
+| CUDA / Vulkan / GPU — placeholders (`vulkan.rs:34-62`, `mod.rs:99-119` GPU arm) | the XLA-jit classical path (same fallback chain as the reference) |
+| None                                           | ``PassThroughUpscaler`` (`common.rs:8-60`) |
+| Fallback                                       | basic upscaler with the reference's quality→algorithm map (`mod.rs:275-282`) |
+
+Support probes are real, not hardcoded: learned tiers check that a trained
+checkpoint directory exists; classical tiers check that a JAX backend
+initializes. Fallback-chain ORDER follows the reference exactly
+(unsupported XeSS → FSR → DLSS → basic, `mod.rs:140-173`; etc.).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from nu_scaler_core._constants import UpscalingQuality
+from nu_scaler_core.upscaler import (
+    PyAdvancedWgpuUpscaler,
+    PyFsrUpscaler,
+    PyWgpuUpscaler,
+)
+
+#: mod.rs:24-45 — string-enum parity with the reference's derive(Debug) names.
+TECHNOLOGIES = (
+    "none",
+    "fsr",
+    "fsr3",
+    "dlss",
+    "xess",
+    "nis",
+    "cuda",
+    "vulkan",
+    "gpu",
+    "fallback",
+)
+
+
+def _quality_to_algorithm(quality: str) -> str:
+    """mod.rs:275-282 — quality→algorithm map for the basic tier."""
+    q = UpscalingQuality.parse(quality).value
+    return {"ultra": "lanczos3", "quality": "bicubic", "balanced": "bicubic",
+            "performance": "bilinear"}[q]
+
+
+def _checkpoint_root() -> str:
+    from nu_scaler_tpu.models.train import CKPT_ROOT
+
+    return CKPT_ROOT
+
+
+def _learned_tier_available(prefer: str) -> bool:
+    """True when a trained checkpoint for the given arch ladder exists on
+    disk — the honest analog of the reference's is_library_loaded() DLL
+    probe (xess.rs:157-162, dlss-sys), which always returned false."""
+    from nu_scaler_tpu.models.esrgan_lite import _ARCH_LADDER
+
+    root = _checkpoint_root()
+    for arch, _kw in _ARCH_LADDER.get(prefer, ()):  # ladder order
+        if os.path.isdir(os.path.join(root, f"esrgan_{arch}_x2")):
+            return True
+    return False
+
+
+def _backend_available() -> bool:
+    try:
+        import jax
+
+        return len(jax.devices()) > 0
+    except Exception:  # noqa: BLE001 — no backend → classical unsupported
+        return False
+
+
+def is_supported(technology: str) -> bool:
+    """`Upscaler::is_supported` per technology (mod.rs:66). Real probes:
+    the classical tiers need a device; the learned tiers need checkpoints."""
+    t = (technology or "").lower()
+    if t in ("none", "fallback"):
+        return True  # common.rs:32-35 — always supported (runs anywhere)
+    if t in ("fsr", "fsr3", "nis", "cuda", "vulkan", "gpu", "wgpu"):
+        return _backend_available()
+    if t == "dlss":
+        return _backend_available() and _learned_tier_available("quality")
+    if t == "xess":
+        return _backend_available() and _learned_tier_available("performance")
+    return False
+
+
+class PassThroughUpscaler(PyWgpuUpscaler):
+    """common.rs:8-60 — identity "upscaler" (None technology). Quality is
+    always ultra ("no loss"), needs_initialization is always False."""
+
+    def __init__(self, quality: str = "ultra"):
+        super().__init__("ultra", "nearest")
+
+    def initialize(self, input_width: int, input_height: int,
+                   output_width: int, output_height: int) -> None:
+        # Nothing to build — output dims are ignored; upscale() clones input.
+        self.input_width, self.input_height = input_width, input_height
+        self.output_width, self.output_height = input_width, input_height
+        self._initialized = True
+        self._fn = lambda x: x
+
+    @property
+    def name(self) -> str:
+        return "Pass-through"
+
+    def needs_initialization(self) -> bool:
+        return False
+
+    def upscale(self, data: bytes) -> bytes:
+        return bytes(data)  # input.clone() (common.rs:22-25)
+
+
+class NISUpscaler(PyWgpuUpscaler):
+    """The NIS role (mod.rs:36 enum arm — the reference never implemented
+    it). NVIDIA Image Scaling IS a classical scaler plus a sharpening pass,
+    so the TPU realization is honest: quality-mapped resample + RCAS
+    (`nu_scaler_tpu/ops/fsr.rcas`, the same sharpener FSR uses)."""
+
+    def __init__(self, quality: str = "balanced", sharpness: float = 0.2):
+        super().__init__(quality, _quality_to_algorithm(quality))
+        self.sharpness = float(sharpness)
+
+    def initialize(self, input_width: int, input_height: int,
+                   output_width: int, output_height: int) -> None:
+        import jax
+
+        from nu_scaler_tpu.ops import fsr as fsr_ops
+        from nu_scaler_tpu.ops import resample
+
+        self.input_width, self.input_height = input_width, input_height
+        self.output_width, self.output_height = output_width, output_height
+        up = resample.make_resampler(
+            input_height, input_width, output_height, output_width,
+            self._algorithm,
+        )
+        sharp = self.sharpness
+        self._fn = jax.jit(lambda x: fsr_ops.rcas(up(x), sharp))
+        self._initialized = True
+
+    @property
+    def name(self) -> str:
+        return "NISUpscaler"
+
+
+def create_upscaler(
+    technology: str,
+    quality: str = "balanced",
+    algorithm: Optional[str] = None,
+):
+    """`create_upscaler(technology, quality, algorithm)` (mod.rs:92-270):
+    resolve the requested technology through the reference's exact fallback
+    chains and return a ready-to-initialize upscaler object."""
+    t = (technology or "").lower()
+    q = UpscalingQuality.parse(quality).value
+
+    def basic():
+        # create_basic_upscaler (mod.rs:264-270)
+        return PyWgpuUpscaler(q, algorithm or _quality_to_algorithm(q))
+
+    def fsr():
+        return PyFsrUpscaler(q)
+
+    def dlss():
+        up = PyAdvancedWgpuUpscaler("ultra", "bilinear", True)
+        if q in ("performance", "balanced"):
+            up.learned_prefer = "performance"
+        return up
+
+    def xess():
+        up = PyAdvancedWgpuUpscaler("ultra", "bilinear", True)
+        up.learned_prefer = "performance"  # stride-8 trunks (XeSS's niche)
+        return up
+
+    if t == "none":
+        return PassThroughUpscaler()
+    if t == "fallback":
+        return basic()
+    if t == "fsr":
+        # mod.rs:97-104 — FSR → basic
+        return fsr() if is_supported("fsr") else basic()
+    if t == "fsr3":
+        # mod.rs:105-120 — FSR3 → FSR → basic. The reference's FSR3 tier
+        # raised NotImplementedError (lib.rs:788-805); here it is the FSR
+        # pipeline at its sharpest preset (frame generation — FSR3's other
+        # half — is the interpolator subsystem, ops/interpolate.py).
+        if is_supported("fsr3"):
+            return PyFsrUpscaler("ultra" if q in ("ultra", "quality") else q)
+        return fsr() if is_supported("fsr") else basic()
+    if t == "dlss":
+        # mod.rs:121-139 — DLSS → FSR → basic
+        if is_supported("dlss"):
+            return dlss()
+        return fsr() if is_supported("fsr") else basic()
+    if t == "xess":
+        # mod.rs:140-173 — XeSS → FSR → DLSS → basic
+        if is_supported("xess"):
+            return xess()
+        if is_supported("fsr"):
+            return fsr()
+        return dlss() if is_supported("dlss") else basic()
+    if t == "nis":
+        # mod.rs:175-196 — NIS → FSR → DLSS → basic
+        if is_supported("nis"):
+            return NISUpscaler(q)
+        if is_supported("fsr"):
+            return fsr()
+        return dlss() if is_supported("dlss") else basic()
+    if t == "vulkan":
+        # mod.rs:217-247 — renderer supported → "Vulkan upscaler not fully
+        # implemented, using fallback" (basic); unsupported → FSR → DLSS →
+        # basic. On TPU the "renderer" IS the XLA classical pipeline, so the
+        # supported arm serves basic-with-algorithm, same as the reference.
+        if is_supported("vulkan"):
+            return basic()
+        if is_supported("fsr"):
+            return fsr()
+        return dlss() if is_supported("dlss") else basic()
+    if t in ("cuda", "gpu"):
+        # mod.rs:99-119 (GPU), :197-216 (CUDA) — both unimplemented arms:
+        # FSR → DLSS → basic.
+        if is_supported("fsr"):
+            return fsr()
+        return dlss() if is_supported("dlss") else basic()
+    raise ValueError(
+        f"Unknown upscaling technology: {technology!r} (expected one of {TECHNOLOGIES})"
+    )
+
+
+def upscale_image_file(
+    input_path: str,
+    output_path: str,
+    technology: str = "fallback",
+    quality: str = "quality",
+    scale_factor: float = 2.0,
+    algorithm: Optional[str] = None,
+) -> tuple[int, int]:
+    """mod.rs:285-330 `upscale_image_file` — load an image file, upscale by
+    `scale_factor` with the resolved technology, save. Returns (out_w, out_h)."""
+    import numpy as np
+    from PIL import Image
+
+    img = np.asarray(Image.open(input_path).convert("RGBA"), np.uint8)
+    in_h, in_w = img.shape[:2]
+    out_w, out_h = int(in_w * scale_factor), int(in_h * scale_factor)
+    up = create_upscaler(technology, quality, algorithm)
+    up.initialize(in_w, in_h, out_w, out_h)
+    out = up.upscale(img.tobytes())
+    arr = np.frombuffer(out, np.uint8).reshape(
+        up.output_height, up.output_width, 4
+    )
+    Image.fromarray(arr, "RGBA").save(output_path)
+    return up.output_width, up.output_height
