@@ -344,9 +344,153 @@ def _kernel_strip(
     )
 
 
+def _kernel_strip_v5(
+    idx_a, sy_a, sx_a, cy_a, cx_a, idx_b, sy_b, sx_b, cy_b, cx_b, t_ref,
+    act_ref,
+    stack_hbm,
+    out_ref,
+    slab, acc, sem,
+    th, tw, k, ty, tx,
+):
+    """v5 of the row-strip kernel — same math, restructured control flow.
+
+    v4 measured 1.94 ms/pair at 1080p with its compute, not DMA, dominant:
+    per row it evaluated 2·K·(Tx+1) = 256 `pl.when` predicates (4 SMEM reads
+    + compares each) and copied the WHOLE 2K-slab row window (290 MB/pair)
+    regardless of activity. v5 exploits two facts:
+
+    * dynamic LEADING-axis indexing of VMEM scratch is legal on Mosaic (v4
+      already indexes `slab[parity]` with a grid-derived value) — so each
+      cell reads its ≤4 corner slabs directly via the corner ASSIGNMENT
+      (`slab[parity·2K + f·K + idx[corner]]`), replacing the K-candidate
+      branch ladder with at most 2 branches per cell (uniform-corner fast
+      path / 4-corner general path);
+    * the per-row activity flags can gate the slab DMAs themselves (smooth
+      motion copies ~2 slabs/row, not 2K) — the flags are exact: a cell only
+      dereferences candidates its corner tiles assign to, which is how
+      `row_hit` is built.
+
+    Fraction lookups (`cand_y[kidx]`) are dynamic SMEM reads — also legal
+    (scalar memory). DMA offsets stay grid-affine (`row·th`), satisfying the
+    backend's static-offset constraint (CLAUDE.md).
+    """
+    ci = pl.program_id(0)
+    n_rows = pl.num_programs(0)
+    parity = jax.lax.rem(ci, 2)
+    cx_cells = tx + 1
+    wl = tw * LANES
+    k2 = 2 * k
+
+    def slab_dma(slot, row, sl):
+        return pltpu.make_async_copy(
+            stack_hbm.at[sl, pl.ds(row * th, th + 8), :],
+            slab.at[slot * k2 + sl],
+            sem.at[slot * k2 + sl],
+        )
+
+    def start_row(slot, row):
+        for sl in range(k2):
+            @pl.when(act_ref[row * k2 + sl] > 0)
+            def _(sl=sl):
+                slab_dma(slot, row, sl).start()
+
+    def wait_row(slot, row):
+        for sl in range(k2):
+            @pl.when(act_ref[row * k2 + sl] > 0)
+            def _(sl=sl):
+                slab_dma(slot, row, sl).wait()
+
+    @pl.when(ci == 0)
+    def _():
+        start_row(0, 0)
+
+    @pl.when(ci + 1 < n_rows)
+    def _():
+        start_row(jax.lax.rem(ci + 1, 2), ci + 1)
+
+    wait_row(parity, ci)
+
+    def corner_ix(dy, dx, j):
+        ti = jnp.clip(ci - 1 + dy, 0, ty - 1)
+        tj = min(max(j - 1 + dx, 0), tx - 1)  # j is a Python int
+        return ti * tx + tj
+
+    ly = jax.lax.broadcasted_iota(jnp.int32, (th, wl), 0).astype(jnp.float32)
+    lx = (jax.lax.broadcasted_iota(jnp.int32, (th, wl), 1) // LANES).astype(
+        jnp.float32
+    )
+    fy = (ly + 0.5) * (1.0 / th)
+    fx = (lx + 0.5) * (1.0 / tw)
+    basis = (
+        (1.0 - fy) * (1.0 - fx),
+        (1.0 - fy) * fx,
+        fy * (1.0 - fx),
+        fy * fx,
+    )
+
+    acc[...] = jnp.zeros_like(acc)
+
+    for f, (idx, sy, sx, cnd_y, cnd_x, wgt) in enumerate((
+        (idx_a, sy_a, sx_a, cy_a, cx_a, 1.0 - t_ref[0]),
+        (idx_b, sy_b, sx_b, cy_b, cx_b, t_ref[0]),
+    )):
+        for j in range(cx_cells):
+            corner = [corner_ix(0, 0, j), corner_ix(0, 1, j),
+                      corner_ix(1, 0, j), corner_ix(1, 1, j)]
+            cidx = [idx[corner[c]] for c in range(4)]
+            sm_y = (
+                (1.0 - fy) * ((1.0 - fx) * sy[corner[0]] + fx * sy[corner[1]])
+                + fy * ((1.0 - fx) * sy[corner[2]] + fx * sy[corner[3]])
+            )
+            sm_x = (
+                (1.0 - fy) * ((1.0 - fx) * sx[corner[0]] + fx * sx[corner[1]])
+                + fy * ((1.0 - fx) * sx[corner[2]] + fx * sx[corner[3]])
+            )
+            cw = slice(j * wl, (j + 1) * wl)
+
+            def sample(kidx, j=j, sm_y=sm_y, sm_x=sm_x, f=f, cnd_y=cnd_y,
+                       cnd_x=cnd_x):
+                """Bilinear sample of candidate kidx's slab over this cell
+                (register value [th, wl])."""
+                fyk = jnp.clip(sm_y - cnd_y[kidx].astype(jnp.float32), 0.0, 1.0)
+                fxk = jnp.clip(sm_x - cnd_x[kidx].astype(jnp.float32), 0.0, 1.0)
+                sl = slab[
+                    parity * k2 + f * k + kidx, :,
+                    j * wl : (j + 1) * wl + 2 * LANES,
+                ].astype(jnp.int32).astype(jnp.float32)
+                top = sl[:th, :wl] + fxk * (
+                    sl[:th, LANES : wl + LANES] - sl[:th, :wl]
+                )
+                bot = sl[1 : th + 1, :wl] + fxk * (
+                    sl[1 : th + 1, LANES : wl + LANES] - sl[1 : th + 1, :wl]
+                )
+                return top + fyk * (bot - top)
+
+            same = jnp.logical_and(
+                jnp.logical_and(cidx[0] == cidx[1], cidx[0] == cidx[2]),
+                cidx[0] == cidx[3],
+            )
+
+            @pl.when(same)
+            def _(cidx=cidx, cw=cw, wgt=wgt, sample=sample):
+                # all four corners agree → Σ_c basis_c = 1 exactly
+                acc[:, cw] += wgt * sample(cidx[0])
+
+            @pl.when(jnp.logical_not(same))
+            def _(cidx=cidx, cw=cw, wgt=wgt, sample=sample):
+                v = basis[0] * sample(cidx[0])
+                for c in range(1, 4):
+                    v += basis[c] * sample(cidx[c])
+                acc[:, cw] += wgt * v
+
+    out_ref[...] = (
+        jnp.round(jnp.clip(acc[...], 0.0, 255.0)).astype(jnp.int32).astype(jnp.uint8)
+    )
+
+
 @functools.lru_cache(maxsize=16)
 def _build(h: int, w: int, th: int, tw: int, rng: int, k: int,
-           strip: bool = True):
+           strip: bool = True, v5: bool = True):
     ty, tx = h // th, w // tw
     cy, cx = ty + 1, tx + 1
     hh, hw = th // 2, tw // 2
@@ -355,7 +499,30 @@ def _build(h: int, w: int, th: int, tw: int, rng: int, k: int,
     rs = cy * th + 16  # slab-stack rows (+16: the 8-aligned halo block)
     cs = (cx * tw + 32) * LANES  # +32 px: the 128-lane halo block
 
-    if strip:
+    if strip and v5:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=12,
+            grid=(cy,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],  # slab stack (HBM)
+            out_specs=pl.BlockSpec(
+                (th, cx * tw * LANES), lambda i, *_: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                # double-buffered per-slab row windows, slot-major FLAT so a
+                # cell can index its corner slab dynamically (leading axis)
+                pltpu.VMEM((2 * 2 * k, th + 8, cs), jnp.uint8),
+                pltpu.VMEM((th, cx * tw * LANES), jnp.float32),  # acc
+                pltpu.SemaphoreType.DMA((2 * 2 * k,)),
+            ],
+        )
+        call = pl.pallas_call(
+            functools.partial(_kernel_strip_v5, th=th, tw=tw, k=k, ty=ty, tx=tx),
+            out_shape=jax.ShapeDtypeStruct((cy * th, cx * tw * LANES), jnp.uint8),
+            grid_spec=grid_spec,
+            interpret=jax.default_backend() == "cpu",
+        )
+    elif strip:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=12,
             grid=(cy,),
