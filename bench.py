@@ -100,13 +100,15 @@ def pipeline_body(mode: str):
 
     if mode == "blend":
         mid_fn = interp_ops.blend_only
+    elif mode == "flow_soft":
+        # production fused path: half-res flow → tile means → Pallas warp
+        mid_fn = interp_ops.soft_interp_fast
     else:
         base_level = 1 if mode == "flow_half" else 0
-        soft = mode == "flow_soft"
 
         def mid_fn(a, b, t):
             flow = interp_ops.compute_flow_fast(a, b, base_level=base_level)
-            return interp_ops.warp_blend_fast(a, b, flow, t, overlap=soft)
+            return interp_ops.warp_blend_fast(a, b, flow, t)
 
     def body(state):
         prev, cur, acc = state

@@ -568,11 +568,14 @@ def _build(h: int, w: int, th: int, tw: int, rng: int, k: int,
             interpret=jax.default_backend() == "cpu",
         )
 
-    def fn(frame_a, frame_b, flow, time_t):
+    def fn(frame_a, frame_b, flow, time_t, tiles=None):
         t_arr = jnp.asarray([time_t], jnp.float32)
+        # full-step A→B tile-mean motion; per-frame fields are scalar
+        # multiples of it (tile_mean is linear), so compute it once
+        base_tiles = tiles if tiles is not None else _tile_mean(flow, th, tw)
 
         def frame_inputs(frame, sign):
-            tiles = jnp.clip(_tile_mean(sign * flow, th, tw), -rng, rng)
+            tiles = jnp.clip(sign * base_tiles, -rng, rng)
             cand_y, cand_x, assign = _candidates(tiles, k, rng)
             idx = assign.reshape(-1)
             sy = tiles[..., 1].astype(jnp.float32).reshape(-1)
@@ -632,16 +635,21 @@ def _build(h: int, w: int, th: int, tw: int, rng: int, k: int,
 def soft_warp_blend(
     frame_a: jax.Array,
     frame_b: jax.Array,
-    flow: jax.Array,
+    flow: jax.Array | None,
     time_t,
     tile: tuple = (8, 128),
     rng: int = 48,
     k: int = 8,
+    tiles: jax.Array | None = None,
 ) -> jax.Array:
     """Overlapped-tile MC blend: u8 [H, W, 4] × 2 + dense flow [H, W, 2] →
     u8 [H, W, 4]. H must divide by tile[0] and W by tile[1] (1080p/4K do);
     use `ops.interpolate.warp_blend_fast(overlap=True)` for the general
     entry point (it falls back to the XLA soft path on ragged shapes).
+
+    Either `flow` (dense, tile-averaged here) or `tiles` (precomputed
+    [H/th, W/tw, 2] tile-mean motion in full-res pixel units, e.g. from
+    `ops.interpolate.flow_tiles_fast`) must be given.
 
     Alpha is motion-compensated alongside RGB (the XLA path cross-fades it);
     identical for the α≡255 frames the capture path produces.
@@ -650,7 +658,10 @@ def soft_warp_blend(
     th, tw = tile
     if h % th or w % tw:
         raise ValueError(f"shape ({h}, {w}) must tile by {tile}")
-    return _build(h, w, th, tw, rng, k)(frame_a, frame_b, flow, time_t)
+    if flow is None and tiles is None:
+        raise ValueError("need flow or tiles")
+    return _build(h, w, th, tw, rng, k)(frame_a, frame_b, flow, time_t,
+                                        tiles=tiles)
 
 
 # ---------------------------------------------------------------------------
