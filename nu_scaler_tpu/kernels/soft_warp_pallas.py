@@ -488,18 +488,349 @@ def _kernel_strip_v5(
     )
 
 
+def _kernel_strip_v6(
+    idx_a, sy_a, sx_a, cy_a, cx_a, idx_b, sy_b, sx_b, cy_b, cx_b, t_ref,
+    act_ref,
+    stack_hbm,
+    out_ref,
+    slab, acc, sem,
+    th, tw, k, ty, tx, s_rows,
+):
+    """v6: v5's per-cell math over STRIPS of `s_rows` cell rows per grid
+    step. v5 measured ~10 µs/row at 1080p on smooth motion — 5× its VPU
+    compute — i.e. per-grid-step fixed cost (DMA issue latency, branch
+    scalar evaluation, step turnaround) dominated. One step now covers
+    s_rows rows: slab DMAs are s_rows× taller (one issue), the activity
+    flags are pre-ORed over the strip in XLA, and the per-step overhead
+    amortizes across 4× the pixels. Math and golden unchanged.
+    """
+    gi = pl.program_id(0)
+    n_strips = pl.num_programs(0)
+    parity = jax.lax.rem(gi, 2)
+    cx_cells = tx + 1
+    wl = tw * LANES
+    k2 = 2 * k
+    srows_px = s_rows * th
+
+    def slab_dma(slot, strip, sl):
+        return pltpu.make_async_copy(
+            stack_hbm.at[sl, pl.ds(strip * srows_px, srows_px + 8), :],
+            slab.at[slot * k2 + sl],
+            sem.at[slot * k2 + sl],
+        )
+
+    def start_strip(slot, strip):
+        for sl in range(k2):
+            @pl.when(act_ref[strip * k2 + sl] > 0)
+            def _(sl=sl):
+                slab_dma(slot, strip, sl).start()
+
+    def wait_strip(slot, strip):
+        for sl in range(k2):
+            @pl.when(act_ref[strip * k2 + sl] > 0)
+            def _(sl=sl):
+                slab_dma(slot, strip, sl).wait()
+
+    @pl.when(gi == 0)
+    def _():
+        start_strip(0, 0)
+
+    @pl.when(gi + 1 < n_strips)
+    def _():
+        start_strip(jax.lax.rem(gi + 1, 2), gi + 1)
+
+    wait_strip(parity, gi)
+
+    ly = jax.lax.broadcasted_iota(jnp.int32, (th, wl), 0).astype(jnp.float32)
+    lx = (jax.lax.broadcasted_iota(jnp.int32, (th, wl), 1) // LANES).astype(
+        jnp.float32
+    )
+    fy = (ly + 0.5) * (1.0 / th)
+    fx = (lx + 0.5) * (1.0 / tw)
+    basis = (
+        (1.0 - fy) * (1.0 - fx),
+        (1.0 - fy) * fx,
+        fy * (1.0 - fx),
+        fy * fx,
+    )
+
+    acc[...] = jnp.zeros_like(acc)
+
+    for s in range(s_rows):
+        ci = gi * s_rows + s
+        rw = slice(s * th, (s + 1) * th)
+
+        def corner_ix(dy, dx, j, ci=ci):
+            ti = jnp.clip(ci - 1 + dy, 0, ty - 1)
+            tj = min(max(j - 1 + dx, 0), tx - 1)  # j is a Python int
+            return ti * tx + tj
+
+        for f, (idx, sy, sx, cnd_y, cnd_x, wgt) in enumerate((
+            (idx_a, sy_a, sx_a, cy_a, cx_a, 1.0 - t_ref[0]),
+            (idx_b, sy_b, sx_b, cy_b, cx_b, t_ref[0]),
+        )):
+            for j in range(cx_cells):
+                corner = [corner_ix(0, 0, j), corner_ix(0, 1, j),
+                          corner_ix(1, 0, j), corner_ix(1, 1, j)]
+                cidx = [idx[corner[c]] for c in range(4)]
+                sm_y = (
+                    (1.0 - fy) * ((1.0 - fx) * sy[corner[0]] + fx * sy[corner[1]])
+                    + fy * ((1.0 - fx) * sy[corner[2]] + fx * sy[corner[3]])
+                )
+                sm_x = (
+                    (1.0 - fy) * ((1.0 - fx) * sx[corner[0]] + fx * sx[corner[1]])
+                    + fy * ((1.0 - fx) * sx[corner[2]] + fx * sx[corner[3]])
+                )
+                cw = slice(j * wl, (j + 1) * wl)
+
+                def sample(kidx, s=s, j=j, sm_y=sm_y, sm_x=sm_x, f=f,
+                           cnd_y=cnd_y, cnd_x=cnd_x):
+                    fyk = jnp.clip(
+                        sm_y - cnd_y[kidx].astype(jnp.float32), 0.0, 1.0
+                    )
+                    fxk = jnp.clip(
+                        sm_x - cnd_x[kidx].astype(jnp.float32), 0.0, 1.0
+                    )
+                    sl = slab[
+                        parity * k2 + f * k + kidx,
+                        s * th : (s + 1) * th + 1,
+                        j * wl : (j + 1) * wl + 2 * LANES,
+                    ].astype(jnp.int32).astype(jnp.float32)
+                    top = sl[:th, :wl] + fxk * (
+                        sl[:th, LANES : wl + LANES] - sl[:th, :wl]
+                    )
+                    bot = sl[1 : th + 1, :wl] + fxk * (
+                        sl[1 : th + 1, LANES : wl + LANES] - sl[1 : th + 1, :wl]
+                    )
+                    return top + fyk * (bot - top)
+
+                same = jnp.logical_and(
+                    jnp.logical_and(cidx[0] == cidx[1], cidx[0] == cidx[2]),
+                    cidx[0] == cidx[3],
+                )
+
+                @pl.when(same)
+                def _(cidx=cidx, cw=cw, rw=rw, wgt=wgt, sample=sample):
+                    acc[rw, cw] += wgt * sample(cidx[0])
+
+                @pl.when(jnp.logical_not(same))
+                def _(cidx=cidx, cw=cw, rw=rw, wgt=wgt, sample=sample):
+                    v = basis[0] * sample(cidx[0])
+                    for c in range(1, 4):
+                        v += basis[c] * sample(cidx[c])
+                    acc[rw, cw] += wgt * v
+
+    out_ref[...] = (
+        jnp.round(jnp.clip(acc[...], 0.0, 255.0)).astype(jnp.int32).astype(jnp.uint8)
+    )
+
+
+def _kernel_strip_v7(
+    idx_a, sy_a, sx_a, cy_a, cx_a, idx_b, sy_b, sx_b, cy_b, cx_b, t_ref,
+    act_ref,
+    stack_hbm,
+    out_ref,
+    slab, f32a, f32s, acc, sem,
+    th, tw, k, ty, tx,
+):
+    """v7: v5's per-cell math with a per-row slab CONVERSION PASS.
+
+    v5/v6 measured VPU-compute-bound: every cell's sample() converted its
+    own u8 window (u8→i32→f32, the Mosaic cast hop) and read a +1-px
+    MISALIGNED column slice — 32 small relayout-heavy ops per row. v7
+    converts each ACTIVE slab's row window to f32 once per grid row into
+    two aligned buffers (`f32a` = the window, `f32s` = the window shifted
+    one pixel left, giving x+1 samples at aligned offsets); per-cell
+    samples then reduce to clips + aligned f32 lerps. The strip-of-4 v6
+    experiment showed per-step overhead is NOT the bottleneck (−3% only),
+    so v7 returns to one cell row per grid step, spending VMEM on the f32
+    buffers instead ([2K, th+1, Cx·tw·4] × 2 — k ≤ 6 at 1080p). Math and
+    golden unchanged: the f32 lerp identity a+(f)·(s−a) with s = a(x+1) is
+    exactly v5's form.
+    """
+    ci = pl.program_id(0)
+    n_rows = pl.num_programs(0)
+    parity = jax.lax.rem(ci, 2)
+    cx_cells = tx + 1
+    wl = tw * LANES
+    k2 = 2 * k
+    csf = cx_cells * wl
+
+    def slab_dma(slot, row, sl):
+        return pltpu.make_async_copy(
+            stack_hbm.at[sl, pl.ds(row * th, th + 8), :],
+            slab.at[slot * k2 + sl],
+            sem.at[slot * k2 + sl],
+        )
+
+    def start_row(slot, row):
+        for sl in range(k2):
+            @pl.when(act_ref[row * k2 + sl] > 0)
+            def _(sl=sl):
+                slab_dma(slot, row, sl).start()
+
+    @pl.when(ci == 0)
+    def _():
+        start_row(0, 0)
+
+    @pl.when(ci + 1 < n_rows)
+    def _():
+        start_row(jax.lax.rem(ci + 1, 2), ci + 1)
+
+    for sl in range(k2):
+        @pl.when(act_ref[ci * k2 + sl] > 0)
+        def _(sl=sl):
+            slab_dma(parity, ci, sl).wait()
+            win = slab[parity * k2 + sl]
+            f32a[sl] = win[: th + 1, :csf].astype(jnp.int32).astype(jnp.float32)
+            f32s[sl] = win[: th + 1, LANES : csf + LANES].astype(
+                jnp.int32
+            ).astype(jnp.float32)
+
+    ly = jax.lax.broadcasted_iota(jnp.int32, (th, wl), 0).astype(jnp.float32)
+    lx = (jax.lax.broadcasted_iota(jnp.int32, (th, wl), 1) // LANES).astype(
+        jnp.float32
+    )
+    fy = (ly + 0.5) * (1.0 / th)
+    fx = (lx + 0.5) * (1.0 / tw)
+    basis = (
+        (1.0 - fy) * (1.0 - fx),
+        (1.0 - fy) * fx,
+        fy * (1.0 - fx),
+        fy * fx,
+    )
+
+    acc[...] = jnp.zeros_like(acc)
+
+    def corner_ix(dy, dx, j):
+        ti = jnp.clip(ci - 1 + dy, 0, ty - 1)
+        tj = min(max(j - 1 + dx, 0), tx - 1)  # j is a Python int
+        return ti * tx + tj
+
+    for f, (idx, sy, sx, cnd_y, cnd_x, wgt) in enumerate((
+        (idx_a, sy_a, sx_a, cy_a, cx_a, 1.0 - t_ref[0]),
+        (idx_b, sy_b, sx_b, cy_b, cx_b, t_ref[0]),
+    )):
+        for j in range(cx_cells):
+            corner = [corner_ix(0, 0, j), corner_ix(0, 1, j),
+                      corner_ix(1, 0, j), corner_ix(1, 1, j)]
+            cidx = [idx[corner[c]] for c in range(4)]
+            sm_y = (
+                (1.0 - fy) * ((1.0 - fx) * sy[corner[0]] + fx * sy[corner[1]])
+                + fy * ((1.0 - fx) * sy[corner[2]] + fx * sy[corner[3]])
+            )
+            sm_x = (
+                (1.0 - fy) * ((1.0 - fx) * sx[corner[0]] + fx * sx[corner[1]])
+                + fy * ((1.0 - fx) * sx[corner[2]] + fx * sx[corner[3]])
+            )
+            cw = slice(j * wl, (j + 1) * wl)
+
+            def sample(kidx, j=j, sm_y=sm_y, sm_x=sm_x, f=f, cnd_y=cnd_y,
+                       cnd_x=cnd_x):
+                fyk = jnp.clip(sm_y - cnd_y[kidx].astype(jnp.float32), 0.0, 1.0)
+                fxk = jnp.clip(sm_x - cnd_x[kidx].astype(jnp.float32), 0.0, 1.0)
+                si = f * k + kidx
+                a_t = f32a[si, :th, cw]
+                s_t = f32s[si, :th, cw]
+                a_b = f32a[si, 1 : th + 1, cw]
+                s_b = f32s[si, 1 : th + 1, cw]
+                top = a_t + fxk * (s_t - a_t)
+                bot = a_b + fxk * (s_b - a_b)
+                return top + fyk * (bot - top)
+
+            same = jnp.logical_and(
+                jnp.logical_and(cidx[0] == cidx[1], cidx[0] == cidx[2]),
+                cidx[0] == cidx[3],
+            )
+
+            @pl.when(same)
+            def _(cidx=cidx, cw=cw, wgt=wgt, sample=sample):
+                acc[:, cw] += wgt * sample(cidx[0])
+
+            @pl.when(jnp.logical_not(same))
+            def _(cidx=cidx, cw=cw, wgt=wgt, sample=sample):
+                v = basis[0] * sample(cidx[0])
+                for c in range(1, 4):
+                    v += basis[c] * sample(cidx[c])
+                acc[:, cw] += wgt * v
+
+    out_ref[...] = (
+        jnp.round(jnp.clip(acc[...], 0.0, 255.0)).astype(jnp.int32).astype(jnp.uint8)
+    )
+
+
 @functools.lru_cache(maxsize=16)
 def _build(h: int, w: int, th: int, tw: int, rng: int, k: int,
-           strip: bool = True, v5: bool = True):
+           strip: bool = True, v5: bool = True, strip_rows: int = 4):
     ty, tx = h // th, w // tw
     cy, cx = ty + 1, tx + 1
     hh, hw = th // 2, tw // 2
     pad_y = rng + hh + 2
     pad_x = rng + hw + 2
-    rs = cy * th + 16  # slab-stack rows (+16: the 8-aligned halo block)
     cs = (cx * tw + 32) * LANES  # +32 px: the 128-lane halo block
+    csf = cx * tw * LANES
+    # v7 (per-row f32 conversion pass) when its buffers fit VMEM (~16 MB,
+    # leave headroom): u8 slabs + two f32 window stacks + accumulator
+    v7_bytes = (
+        2 * 2 * k * (th + 8) * cs
+        + 2 * (2 * k * (th + 1) * csf * 4)
+        + th * csf * 4
+    )
+    use_v7 = strip and v5 and v7_bytes <= 12 * 2**20
+    s_rows = 1 if use_v7 else max(1, min(strip_rows, cy))
+    n_strips = -(-cy // s_rows)  # ceil; trailing rows masked by slicing
+    rs = n_strips * s_rows * th + 16  # slab-stack rows (+16: 8-aligned halo)
 
-    if strip and v5:
+    if use_v7:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=12,
+            grid=(cy,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],  # slab stack (HBM)
+            out_specs=pl.BlockSpec(
+                (th, cx * tw * LANES), lambda i, *_: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2 * 2 * k, th + 8, cs), jnp.uint8),
+                pltpu.VMEM((2 * k, th + 1, csf), jnp.float32),  # f32a
+                pltpu.VMEM((2 * k, th + 1, csf), jnp.float32),  # f32s (x+1)
+                pltpu.VMEM((th, csf), jnp.float32),  # acc
+                pltpu.SemaphoreType.DMA((2 * 2 * k,)),
+            ],
+        )
+        call = pl.pallas_call(
+            functools.partial(_kernel_strip_v7, th=th, tw=tw, k=k, ty=ty, tx=tx),
+            out_shape=jax.ShapeDtypeStruct((cy * th, cx * tw * LANES), jnp.uint8),
+            grid_spec=grid_spec,
+            interpret=jax.default_backend() == "cpu",
+        )
+    elif strip and v5 and s_rows > 1:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=12,
+            grid=(n_strips,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],  # slab stack (HBM)
+            out_specs=pl.BlockSpec(
+                (s_rows * th, cx * tw * LANES), lambda i, *_: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2 * 2 * k, s_rows * th + 8, cs), jnp.uint8),
+                pltpu.VMEM((s_rows * th, cx * tw * LANES), jnp.float32),
+                pltpu.SemaphoreType.DMA((2 * 2 * k,)),
+            ],
+        )
+        call = pl.pallas_call(
+            functools.partial(
+                _kernel_strip_v6, th=th, tw=tw, k=k, ty=ty, tx=tx,
+                s_rows=s_rows,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (n_strips * s_rows * th, cx * tw * LANES), jnp.uint8
+            ),
+            grid_spec=grid_spec,
+            interpret=jax.default_backend() == "cpu",
+        )
+    elif strip and v5:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=12,
             grid=(cy,),
@@ -580,11 +911,16 @@ def _build(h: int, w: int, th: int, tw: int, rng: int, k: int,
             idx = assign.reshape(-1)
             sy = tiles[..., 1].astype(jnp.float32).reshape(-1)
             sx = tiles[..., 0].astype(jnp.float32).reshape(-1)
+            # exact-need padding: slab slices start at pad_y−hh+cand_y ∈
+            # [2, 2+2rng] and read rs rows (cs/LANES cols) — pad the bottom/
+            # right to cover the furthest read, no more
+            bot_y = 2 + 2 * rng + rs - pad_y - h
+            rgt_x = 2 + 2 * rng + cs // LANES - pad_x - w
             padded = jnp.pad(
                 frame,
-                ((pad_y, pad_y + th + 16), (pad_x, pad_x + tw + 32), (0, 0)),
+                ((pad_y, bot_y), (pad_x, rgt_x), (0, 0)),
                 mode="edge",
-            ).reshape(h + 2 * pad_y + th + 16, -1)
+            ).reshape(h + pad_y + bot_y, -1)
             slabs = [
                 jax.lax.dynamic_slice(
                     padded,
@@ -616,7 +952,13 @@ def _build(h: int, w: int, th: int, tw: int, rng: int, k: int,
         stack = jnp.concatenate([st_a, st_b], axis=0)
 
         if strip:
-            act = jnp.concatenate([act_a, act_b], axis=1).reshape(-1)
+            act = jnp.concatenate([act_a, act_b], axis=1)  # [cy, 2K]
+            if s_rows > 1:
+                # strip-level activity: a slab is DMA'd iff active in ANY
+                # cell row of the strip (trailing pad rows contribute 0)
+                act = jnp.pad(act, ((0, n_strips * s_rows - cy), (0, 0)))
+                act = act.reshape(n_strips, s_rows, 2 * k).max(axis=1)
+            act = act.reshape(-1)
             out = call(
                 idx_a, sy_a, sx_a, cya, cxa, idx_b, sy_b, sx_b, cyb, cxb,
                 t_arr, act, stack,
