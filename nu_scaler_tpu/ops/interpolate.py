@@ -389,6 +389,13 @@ def blend_only(frame_a: jax.Array, frame_b: jax.Array, time_t: float | jax.Array
 WARP_TILE = (8, 128)
 WARP_RANGE = 48  # max |motion| in pixels the block warp honors (≈ 1.5 tiles)
 WARP_K = 8  # candidate offsets per warp
+# Candidate count for the production overlapped-tile (soft) path. Slab
+# extraction + kernel DMA/convert work scale with K while quality saturates:
+# measured on the 3-motion-population and zoom+rotate probes
+# (tools/experiments/soft_warp_k_quality.py + refine ladder), k=4 costs
+# 0.00-0.06 dB vs k=8 and saves ~0.7 ms/pair at 1080p (v7 kernel: 2.164 vs
+# 2.926 ms fused). k=2 costs 0.35 dB — the knee is at 4.
+SOFT_WARP_K = 4
 
 
 def _tile_mean(field: jax.Array, th: int, tw: int) -> jax.Array:
@@ -756,6 +763,11 @@ def flow_tiles_fast(
     (−0.12 dB at 144p where tiles are RELATIVELY far coarser; 0.00 dB at
     288p) while removing the most expensive pyramid level.
 
+    The front end deliberately stays luma-first + gaussian banded decimate:
+    a u8 2×2 box decimate before the pyramid measured 10.95 ms/pair — the
+    [H, W, 4]→[H/2, 2, W/2, 2, 4] reshape-sum is a strided relayout, the
+    gather pathology of CLAUDE.md (tools/experiments/soft_warp_v7c_bench).
+
     Requires even tile dims and frame dims divisible by the tile (the
     callers' Pallas-compatibility condition already guarantees this).
     """
@@ -769,6 +781,7 @@ def flow_tiles_fast(
 def soft_interp_fast(
     frame_a: jax.Array, frame_b: jax.Array, time_t,
     tile: tuple = WARP_TILE,
+    k: int = SOFT_WARP_K,
 ) -> jax.Array:
     """Production "flow_soft" step: overlapped-tile motion-compensated
     mid-frame, u8 [H, W, 4] × 2 → u8 [H, W, 4].
@@ -791,7 +804,8 @@ def soft_interp_fast(
 
         tiles = flow_tiles_fast(frame_a, frame_b, tile)
         return soft_warp_blend(
-            frame_a, frame_b, None, t, tile=tile, rng=WARP_RANGE, tiles=tiles
+            frame_a, frame_b, None, t, tile=tile, rng=WARP_RANGE, k=k,
+            tiles=tiles,
         )
     flow = compute_flow_fast(frame_a, frame_b)
     return warp_blend_fast(frame_a, frame_b, flow, t, tile=tile, overlap=True)
@@ -969,7 +983,8 @@ def stage_timings_ms(
 
         def warp_body(s):
             fa, fb, tl = s
-            out = soft_warp_blend(fa, fb, None, 0.5, tile=warp_tile, tiles=tl)
+            out = soft_warp_blend(fa, fb, None, 0.5, tile=warp_tile,
+                                  k=SOFT_WARP_K, tiles=tl)
             return fb, out, tl * 0.5 + out[:ty, :tx, :2].astype(jnp.float32) * 1e-6
 
         warp_ms = device_timer(warp_body, (a, b, tiles0), iters=iters) * 1000.0
