@@ -913,7 +913,12 @@ def _build(h: int, w: int, th: int, tw: int, rng: int, k: int,
             sx = tiles[..., 0].astype(jnp.float32).reshape(-1)
             # exact-need padding: slab slices start at pad_y−hh+cand_y ∈
             # [2, 2+2rng] and read rs rows (cs/LANES cols) — pad the bottom/
-            # right to cover the furthest read, no more
+            # right to cover the furthest read, no more. The copies stay in
+            # the u8 lane domain: an int32 (packed-RGBA) variant — pad and
+            # slice on 4× fewer lanes, bitcast back — measured WORSE
+            # end-to-end (fused warp 2.16 → 3.42 ms,
+            # soft_warp_i32_extract_bench.py); the u8 lane-offset copy is
+            # already the fast lowering here.
             bot_y = 2 + 2 * rng + rs - pad_y - h
             rgt_x = 2 + 2 * rng + cs // LANES - pad_x - w
             padded = jnp.pad(

@@ -768,14 +768,26 @@ def flow_tiles_fast(
     [H, W, 4]→[H/2, 2, W/2, 2, 4] reshape-sum is a strided relayout, the
     gather pathology of CLAUDE.md (tools/experiments/soft_warp_v7c_bench).
 
+    At production scales (≥720 rows) the flow runs at QUARTER res
+    (base_level=2): the tile means average 8×8 quarter-res samples each, so
+    the extra refinement level is averaged away — measured −0.01 dB at
+    1080p (soft_base_level_1080p.py; −0.02/−0.34 dB at the pessimistic
+    288p, soft_refine_quality.py) for 0.648 → 0.322 ms of flow time
+    (soft_step_anatomy.py). Small frames keep half-res flow: their tile
+    grid is coarse RELATIVE to the frame, so tile means carry more of the
+    motion detail.
+
     Requires even tile dims and frame dims divisible by the tile (the
     callers' Pallas-compatibility condition already guarantees this).
     """
     th, tw = tile
+    base_level = 2 if frame_a.shape[-3] >= 720 and th % 4 == 0 and tw % 4 == 0 else 1
+    s = 2 ** base_level
     half = compute_flow_fast(
-        frame_a, frame_b, levels, coarse_iters, base_level=1, upsample=False
+        frame_a, frame_b, levels, coarse_iters,
+        base_level=base_level, upsample=False,
     )
-    return _tile_mean(half, th // 2, tw // 2) * 2.0
+    return _tile_mean(half, th // s, tw // s) * float(s)
 
 
 def soft_interp_fast(

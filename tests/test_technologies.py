@@ -66,7 +66,12 @@ def test_nis_upscaler_runs_and_sharpens():
     plain = np.asarray(resample.make_resampler(12, 16, 24, 32, "bicubic")(frame))
     assert out.shape == plain.shape
     assert not np.array_equal(out, plain)
-    assert abs(out.astype(np.int32).mean() - plain.astype(np.int32).mean()) < 8
+    # RGB only: the FSR/NIS path emits α≡255 (ops/fsr.py — the capture
+    # path's frames are α≡255), while plain bicubic resamples the random α
+    assert np.all(out[..., 3] == 255)
+    assert abs(
+        out[..., :3].astype(np.int32).mean() - plain[..., :3].astype(np.int32).mean()
+    ) < 8
 
 
 def test_xess_serves_learned_performance_tier():
@@ -77,8 +82,13 @@ def test_xess_serves_learned_performance_tier():
 
 
 def test_dlss_serves_learned_quality_tier():
+    from nu_scaler_core import PyAdvancedWgpuUpscaler
+
     up = tech.create_upscaler("dlss", "ultra")
-    assert up.name == "AdvancedWgpuUpscaler"
+    # the DLSS arm serves the learned tier via the advanced upscaler at the
+    # quality checkpoint (learned_prefer unset → quality ladder)
+    assert isinstance(up, PyAdvancedWgpuUpscaler)
+    assert getattr(up, "learned_prefer", None) is None
 
 
 def test_unimplemented_arms_fall_back_to_fsr():
