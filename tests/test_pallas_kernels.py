@@ -112,3 +112,48 @@ def test_pallas_conv3x3_nonmultiple_height(rng):
         np.float32,
     )
     assert np.max(np.abs(out - ref)) < 0.35
+
+
+def test_trunk_fused_matches_xla_chain(rng):
+    """Whole-trunk fused kernel (head → residual blocks → trunk+skip → tail
+    in one pallas_call) vs the XLA conv chain of make_serving_fn_fused —
+    including the frame borders, where the in-kernel masks must reproduce
+    XLA's per-layer SAME zero padding."""
+    from nu_scaler_tpu.kernels.conv_pallas import make_trunk_fused
+
+    h, w, c, blocks = 40, 48, 128, 2
+    x = jnp.asarray(rng.random((h, w, c), np.float32) - 0.5, jnp.bfloat16)
+
+    def mk(ci, co):
+        return (
+            jnp.asarray(rng.random((3, 3, ci, co), np.float32) * 0.1 - 0.05),
+            jnp.asarray(rng.random((co,), np.float32) * 0.02 - 0.01),
+        )
+
+    params = [*mk(c, c)]
+    for _ in range(blocks):
+        params += [*mk(c, c), *mk(c, c)]
+    params += [*mk(c, c), *mk(c, 256)]
+
+    def conv(y, k, b, relu=False):
+        o = jax.lax.conv_general_dilated(
+            y[None], k.astype(y.dtype), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )[0] + b.astype(y.dtype)
+        return jnp.maximum(o, 0) if relu else o
+
+    feat = conv(x, params[0], params[1])
+    hh = feat
+    for bi in range(blocks):
+        k1, b1, k2, b2 = params[2 + 4 * bi : 6 + 4 * bi]
+        t1 = conv(hh, k1, b1, relu=True)
+        hh = hh + jnp.asarray(0.2, hh.dtype) * conv(t1, k2, b2)
+    tk, tb, lk, lb = params[2 + 4 * blocks :]
+    ref = np.asarray(conv(conv(hh, tk, tb) + feat, lk, lb), np.float32)
+
+    fn = make_trunk_fused(h, w, c, c, 256, blocks, th=16)
+    assert fn is not None
+    out = np.asarray(fn(x, tuple(params)), np.float32)
+    assert out.shape == ref.shape
+    # bf16 both sides; accumulation-order noise only (borders included)
+    assert np.max(np.abs(out - ref)) < 0.1, np.max(np.abs(out - ref))
