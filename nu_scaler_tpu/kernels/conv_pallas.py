@@ -98,6 +98,17 @@ def make_conv3x3(
 # /root/reference/dlss-sys/src/lib.rs:1-451) for a row strip with every
 # intermediate activation resident in VMEM:
 #
+# MEASURED VERDICT (r3, tools/experiments/conv_stack_probe.py): NOT viable
+# on this backend. The full 7-layer kernel needs 64.9 MB scoped vmem at
+# th=16 (>16 MB default; raising vmem_limit_bytes clears Mosaic but the
+# remote compile helper SIGKILLs on the unrolled graph at every th), and
+# plain 2-/3-conv stacks DO compile yet run at 1.07-1.18 ms/conv — 5× the
+# single-conv kernel (0.196) and 3× XLA (0.31); routing the intermediate
+# through a VMEM scratch ref instead of a value chain changes nothing
+# (1.136 ms/conv). The XLA conv chain stays the production serving path;
+# this kernel is kept (with its CPU-interpret parity test) as the
+# documented dead end.
+#
 #   feat = conv(head);  repeat blocks: h += 0.2·conv(relu(conv(h)));
 #   h = conv(trunk) + feat;  out = conv(tail)
 #
