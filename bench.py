@@ -122,6 +122,26 @@ def pipeline_body(mode: str):
     return body
 
 
+def soft3x_body():
+    """3× frame generation (the FSR3 frame-gen role): ONE motion solve per
+    pair (soft_interp_multi), two motion-compensated mids at t=1/3, 2/3,
+    three 4K outputs per step (mid1, mid2, cur)."""
+    up = resample.make_resampler(IN_H, IN_W, OUT_H, OUT_W, "lanczos3")
+
+    def body(state):
+        prev, cur, acc = state
+        mids = interp_ops.soft_interp_multi(prev, cur, (1.0 / 3.0, 2.0 / 3.0))
+        out_m1 = up(mids[0])
+        out_m2 = up(mids[1])
+        out_cur = up(cur)
+        nxt = out_cur[:IN_H, :IN_W, :]
+        acc = acc + jnp.sum(out_m1[:1, :8, 0].astype(jnp.float32))
+        acc = acc + jnp.sum(out_m2[:1, :8, 0].astype(jnp.float32))
+        return (cur, nxt, acc)
+
+    return body
+
+
 def perf_interp_body():
     """The "performance" interpolation tier: motion compensation runs at
     540p (flow + warp), the mid frame upscales 540p→4K directly while the
@@ -154,6 +174,13 @@ def bench_pipeline(mode: str, iters: int, overhead_s: float) -> dict:
         acc0 = jnp.zeros((), jnp.float32)
         spf = timed_loop(pipeline_body(mode), (prev, cur, acc0), iters, overhead_s)
         return {"fps": 2.0 / spf, "step_ms": spf * 1000.0}
+    if mode == "soft3x":
+        frame = make_input()
+        prev = jax.device_put(frame)
+        cur = jax.device_put(np.roll(frame, 16, axis=1))
+        acc0 = jnp.zeros((), jnp.float32)
+        spf = timed_loop(soft3x_body(), (prev, cur, acc0), iters, overhead_s)
+        return {"fps": 3.0 / spf, "step_ms": spf * 1000.0}
     if mode == "perf_interp":
         frame = make_input()
         prev = jax.device_put(frame)
@@ -277,6 +304,12 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         res_flow_soft = {"fps": 0.0}
         log(f"pipeline[hs-soft] failed: {e}")
+    try:
+        res_soft3x = bench_pipeline("soft3x", max(iters // 10, 3), overhead)
+        log(f"pipeline[hs-soft3x] {res_soft3x['fps']:9.1f} out-fps  {res_soft3x['step_ms']:.3f} ms/step (3x frame gen, one motion solve)")
+    except Exception as e:  # noqa: BLE001
+        res_soft3x = {"fps": 0.0}
+        log(f"pipeline[hs-soft3x] failed: {e}")
     try:
         res_flow_half = bench_pipeline("flow_half", max(iters // 5, 3), overhead)
         log(f"pipeline[hs-half] {res_flow_half['fps']:9.1f} out-fps  {res_flow_half['step_ms']:.3f} ms/step")
@@ -421,6 +454,7 @@ def main() -> None:
                 "blend_pair_upscale_fps": round(res_blend_naive["fps"], 1),
                 "flow_mode_fps": round(res_flow["fps"], 1),
                 "flow_soft_fps": round(res_flow_soft["fps"], 1),
+                "flow_soft_3x_fps": round(res_soft3x["fps"], 1),
                 "flow_half_fps": round(res_flow_half["fps"], 1),
                 "perf_interp_fps": round(res_perf["fps"], 1),
                 "live_host_fps": round(res_live["fps"], 2),

@@ -108,6 +108,45 @@ class WgpuFrameInterpolator:
         self._last_key = key
         return out.tobytes()
 
+    def interpolate_multi_py(
+        self,
+        frame_a_bytes: bytes,
+        frame_b_bytes: bytes,
+        width: int,
+        height: int,
+        *,
+        times: tuple = (1.0 / 3.0, 2.0 / 3.0),
+    ) -> list:
+        """N-factor frame generation (TPU extension): one motion solve, one
+        in-between frame per entry of `times` — e.g. the default (1/3, 2/3)
+        turns a 30 fps pair stream into 90 fps output. The reference's FSR3
+        tier interpolates N frames from one motion-vector field the same way
+        (`Nu_scale/src/upscale/fsr3.rs:319-376`); its shipped wgpu path only
+        ever exposed a single t (`wgpu_interpolator.rs:216`). Returns a list
+        of RGBA byte frames, ordered by t."""
+        expected = width * height * 4
+        a = bytes(frame_a_bytes)
+        b = bytes(frame_b_bytes)
+        if len(a) != expected or len(b) != expected:
+            raise ValueError(
+                f"Expected {expected} bytes per frame for {width}x{height}x4 RGBA, "
+                f"got frame_a: {len(a)} bytes, frame_b: {len(b)} bytes"
+            )
+        ts = tuple(float(t) for t in times)
+        if not ts or not all(0.0 <= t <= 1.0 for t in ts):
+            raise ValueError(f"times must be non-empty, each in [0, 1]: {times!r}")
+        arr_a = np.frombuffer(a, np.uint8).reshape(height, width, 4)
+        arr_b = np.frombuffer(b, np.uint8).reshape(height, width, 4)
+        mode = self.mode if self.mode in ("blend", "flow", "flow_soft") else "flow_soft"
+        fn = _interp.make_multi_interpolator(
+            height, width, ts, mode, warp_tile=self.warp_tile
+        )
+        t0 = time.perf_counter()
+        out = np.asarray(fn(arr_a, arr_b))
+        self._last_wall_ms = (time.perf_counter() - t0) * 1000.0
+        self._last_key = None  # multi-step calibration keys are per-factor
+        return [out[i].tobytes() for i in range(out.shape[0])]
+
     def get_last_gpu_duration_ms(self) -> Optional[float]:
         """Device-side ms for the last call's (shape, mode) — a cached
         fori_loop calibration (first call per shape pays one extra compile);

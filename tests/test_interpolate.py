@@ -196,3 +196,60 @@ def test_flow_mode_beats_blend_on_motion():
     p_exact = psnr(out_exact, mid_true)
     assert p_flow > p_blend, f"flow {p_flow:.1f} dB should beat blend {p_blend:.1f} dB"
     assert p_exact > p_blend, f"exact {p_exact:.1f} dB should beat blend {p_blend:.1f} dB"
+
+
+def test_soft_interp_multi_matches_single_and_orders_times():
+    """N-factor frame generation: soft_interp_multi shares one motion solve
+    across times — t=0.5 must equal the single-t production path bit-exact,
+    and a sliding scene's mids must track their times monotonically."""
+    h, w = 64, 256  # tile-divisible → the fused Pallas path
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+
+    def scene(offset):
+        img = np.zeros((h, w, 4), np.uint8)
+        blob = 230.0 * np.exp(
+            -(((xx - 80.0 - offset) / 16.0) ** 2 + ((yy - 32.0) / 12.0) ** 2)
+        )
+        for c in range(3):
+            img[..., c] = np.clip(20.0 + blob, 0, 255).astype(np.uint8)
+        img[..., 3] = 255
+        return img
+
+    a, b = scene(0), scene(9)
+    multi = np.asarray(interp.soft_interp_multi(a, b, (1 / 3, 0.5, 2 / 3)))
+    assert multi.shape == (3, h, w, 4)
+    single = np.asarray(interp.soft_interp_fast(a, b, 0.5))
+    np.testing.assert_array_equal(multi[1], single)
+    # each mid should look most like the true frame at its own time
+    for i, off in enumerate((3.0, 4.5, 6.0)):
+        truth = scene(off)
+        own = psnr(multi[i], truth)
+        other = max(
+            psnr(multi[j], truth) for j in range(3) if j != i
+        )
+        assert own >= other, f"t[{i}] mid matches a different time ({own:.1f} vs {other:.1f} dB)"
+
+
+def test_interpolate_multi_py_api():
+    """Public WgpuFrameInterpolator.interpolate_multi_py: byte contract,
+    time validation, and agreement with interpolate_py at the same t."""
+    import nu_scaler_core as n
+
+    it = n.WgpuFrameInterpolator(mode="flow_soft")
+    h, w = 32, 256
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 256, (h, w, 4), np.uint8)
+    a[..., 3] = 255
+    b = np.roll(a, 5, axis=1)
+    outs = it.interpolate_multi_py(
+        a.tobytes(), b.tobytes(), w, h, times=(0.25, 0.5, 0.75)
+    )
+    assert len(outs) == 3 and all(len(o) == h * w * 4 for o in outs)
+    single = it.interpolate_py(a.tobytes(), b.tobytes(), w, h, time_t=0.5)
+    assert outs[1] == single
+    with pytest.raises(ValueError):
+        it.interpolate_multi_py(a.tobytes(), b.tobytes(), w, h, times=())
+    with pytest.raises(ValueError):
+        it.interpolate_multi_py(a.tobytes(), b.tobytes(), w, h, times=(1.5,))
+    with pytest.raises(ValueError):
+        it.interpolate_multi_py(a.tobytes()[:-4], b.tobytes(), w, h)
