@@ -93,6 +93,26 @@ def blend_amortized_body():
     return body
 
 
+def blend_fused_body():
+    """Amortized blend with the blend fused INTO the resampler kernel
+    (kernels/resample_pallas.make_pallas_fused_blend): one pallas_call per
+    step emits the fresh 4K upscale AND the cross-fade mid, so the fresh
+    upscale is never re-read from HBM for the blend. State carries the
+    padded-2D 4K product between steps."""
+    from nu_scaler_tpu.kernels.resample_pallas import make_pallas_fused_blend
+
+    fb = make_pallas_fused_blend(IN_H, IN_W, OUT_H, OUT_W, "lanczos3", 0.5)
+
+    def body(state):
+        prev_up2d, cur, acc = state
+        cur_up2d, mid2d = fb(cur, prev_up2d)
+        nxt = cur_up2d[:IN_H, : IN_W * 4].reshape(IN_H, IN_W, 4)
+        acc = acc + jnp.sum(mid2d[:1, :32].astype(jnp.float32))
+        return (cur_up2d, nxt, acc)
+
+    return fb, body
+
+
 def pipeline_body(mode: str):
     """(prev, cur) → (cur, next): one live step = interp at 1080p + batched
     pair upscale to 4K; `next` is derived from the 4K output (dependency)."""
@@ -196,6 +216,15 @@ def bench_pipeline(mode: str, iters: int, overhead_s: float) -> dict:
         acc0 = jnp.zeros((), jnp.float32)
         spf = timed_loop(blend_amortized_body(), (prev_up, cur, acc0), iters, overhead_s)
         return {"fps": 2.0 / spf, "step_ms": spf * 1000.0}
+    if mode == "blend_fused":
+        frame = make_input()
+        fb, body = blend_fused_body()
+        prev = jax.device_put(frame)
+        prev_up2d = fb(prev, jnp.zeros(fb.out2d, jnp.uint8))[0]
+        cur = jax.device_put(np.roll(frame, 16, axis=1))
+        acc0 = jnp.zeros((), jnp.float32)
+        spf = timed_loop(body, (prev_up2d, cur, acc0), iters, overhead_s)
+        return {"fps": 2.0 / spf, "step_ms": spf * 1000.0}
     raise ValueError(f"unknown bench mode {mode!r}")
 
 
@@ -215,7 +244,16 @@ def bench_live(n_frames: int = 10, warmup: int = 3) -> dict:
     src = SyntheticSource(IN_W, IN_H)
     up = resample.make_resampler(IN_H, IN_W, OUT_H, OUT_W, "lanczos3")
     interp = interp_ops.make_interpolator(OUT_H, OUT_W, "blend")
-    pipe = LivePipeline(up, lambda a, b, t: interp(a, b, t), depth=2, amortize_blend=True)
+    try:
+        from nu_scaler_tpu.kernels.resample_pallas import make_pallas_fused_blend
+
+        fb = make_pallas_fused_blend(IN_H, IN_W, OUT_H, OUT_W, "lanczos3", 0.5)
+    except Exception:  # noqa: BLE001
+        fb = None
+    pipe = LivePipeline(
+        up, lambda a, b, t: interp(a, b, t), depth=2, amortize_blend=True,
+        fused_step_fn=fb,
+    )
     buf = TripleBuffer()
     stats = AdaptiveFrameStats(target_fps=60.0, enable_frame_skipping=True)
 
@@ -286,6 +324,12 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         res_blend = {"fps": 0.0, "step_ms": 0.0}
         log(f"pipeline[blend] failed: {e}")
+    try:
+        res_blend_fused = bench_pipeline("blend_fused", iters, overhead)
+        log(f"pipeline[blend-f] {res_blend_fused['fps']:9.1f} out-fps  {res_blend_fused['step_ms']:.3f} ms/step (blend fused into the resample kernel)")
+    except Exception as e:  # noqa: BLE001
+        res_blend_fused = {"fps": 0.0}
+        log(f"pipeline[blend-f] failed: {e}")
     try:
         res_blend_naive = bench_pipeline("blend", iters, overhead)
         log(f"pipeline[blend-2x] {res_blend_naive['fps']:9.1f} out-fps  {res_blend_naive['step_ms']:.3f} ms/step (pair-upscale)")
@@ -442,7 +486,11 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         log(f"esrgan quality eval skipped: {e}")
 
-    value = round(res_blend["fps"], 1)
+    # headline = the best full-pipeline implementation of the north-star
+    # dataflow; blend-f computes the identical two output frames per step
+    # (upscale bit-exact, blend ±1 on f32 rounding ties) in one fused kernel
+    res_head = res_blend_fused if res_blend_fused["fps"] > res_blend["fps"] else res_blend
+    value = round(res_head["fps"], 1)
     print(
         json.dumps(
             {
@@ -450,8 +498,10 @@ def main() -> None:
                 "value": value,
                 "unit": "fps",
                 "vs_baseline": round(value / TARGET_FPS, 3),
-                "step_ms": round(res_blend["step_ms"], 3),
+                "step_ms": round(res_head["step_ms"], 3),
+                "blend_amortized_xla_fps": round(res_blend["fps"], 1),
                 "blend_pair_upscale_fps": round(res_blend_naive["fps"], 1),
+                "blend_fused_kernel_fps": round(res_blend_fused["fps"], 1),
                 "flow_mode_fps": round(res_flow["fps"], 1),
                 "flow_soft_fps": round(res_flow_soft["fps"], 1),
                 "flow_soft_3x_fps": round(res_soft3x["fps"], 1),

@@ -324,3 +324,119 @@ def make_pallas_fused(in_h: int, in_w: int, out_h: int, out_w: int, algorithm: s
         return out[:out_h, : out_w * LANES].reshape(out_h, out_w, LANES)
 
     return jax.jit(fn)
+
+
+def _fused_blend_kernel(wv_ref, wh_ref, b00, b01, b10, b11, prev_ref,
+                        out_ref, mid_ref, *, time_t: float):
+    """_fused_kernel + amortized-blend epilogue: emits the upscaled tile AND
+    `blend_only(prev_tile, upscaled_tile, t)` in one pass, so the north-star
+    step needs no separate 4K blend read of the fresh upscale."""
+    top = jnp.concatenate([b00[:], b01[:]], axis=1)
+    bot = jnp.concatenate([b10[:], b11[:]], axis=1)
+    slab = jnp.concatenate([top, bot], axis=0)  # [2sv, 2sh*4] u8
+    slab16 = slab.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+
+    def split_dot(w2, x, dims):
+        hi = jax.lax.dot_general(w2[0], x, dimension_numbers=dims,
+                                 preferred_element_type=jnp.float32)
+        lo = jax.lax.dot_general(w2[1], x, dimension_numbers=dims,
+                                 preferred_element_type=jnp.float32)
+        return hi + lo
+
+    dims = (((1,), (0,)), ((), ()))
+    mid = split_dot(wv_ref[0], slab16, dims)
+    mid16 = mid.astype(jnp.bfloat16)
+    out = split_dot(
+        jnp.transpose(wh_ref[0], (0, 2, 1)), jnp.transpose(mid16), dims
+    )
+    out = jnp.transpose(out)
+    res_i32 = jnp.trunc(jnp.clip(out, 0.0, 255.0)).astype(jnp.int32)
+    out_ref[:] = res_i32.astype(jnp.uint8)
+    # blend_only semantics on the TRUNCATED u8 result (ops/interpolate.py:
+    # 358) — computed as the EXACT mix round(a + (b−a)·t): u8 values and
+    # t=0.5 halves are f32-exact, so this is the true rounding; blend_only's
+    # ×(1/255)→×255 f32 roundtrip perturbs exact .5 ties by ≤1 ulp, so the
+    # two paths may differ by ±1 on tie pixels (gated in the parity test)
+    a = prev_ref[:].astype(jnp.int32).astype(jnp.float32)
+    b = res_i32.astype(jnp.float32)
+    mix = a + (b - a) * jnp.float32(time_t)
+    mid_ref[:] = (
+        jnp.clip(jnp.round(mix), 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
+    )
+
+
+@functools.lru_cache(maxsize=16)
+def make_pallas_fused_blend(
+    in_h: int, in_w: int, out_h: int, out_w: int, algorithm: str,
+    time_t: float = 0.5,
+):
+    """Amortized-interpolation step as ONE kernel: ``(cur_u8 [H, W, 4],
+    prev_up_2d u8 [t_v·tc_v, t_h·tc_h·4]) → (cur_up_2d, mid_2d)`` where
+    cur_up_2d is the fused-resampler 4K product (padded 2D form, feed it
+    back as next step's prev) and mid_2d == blend_only(prev, cur_up, t) on
+    the same padded grid. Slice ``[:out_h, :out_w*4].reshape(out_h, out_w,
+    4)`` for consumers. None when the banded form doesn't tile."""
+    algorithm = _r.normalize_algorithm(algorithm)
+    bv = _r._banded_axis(in_h, out_h, algorithm)
+    bh = _r._banded_axis(in_w, out_w, algorithm)
+    if bv is None or bh is None:
+        return None
+    av, stride_v, halo_v, tc_v, t_v = bv
+    ah, stride_h, halo_h, tc_h, t_h = bh
+
+    def split2(a):
+        hi = a.astype(jnp.bfloat16)
+        lo = (a - np.asarray(hi).astype(np.float32)).astype(jnp.bfloat16)
+        return np.stack([np.asarray(hi), np.asarray(lo)])
+
+    wv = jnp.asarray(split2(av.transpose(0, 2, 1)).transpose(1, 0, 2, 3))
+    eye4 = np.eye(LANES, dtype=np.float32)
+    wh = jnp.asarray(split2(np.kron(ah, eye4[None])).transpose(1, 0, 2, 3))
+
+    interpret = jax.default_backend() == "cpu"
+    shl = stride_h * LANES
+    out2d = (t_v * tc_v, t_h * tc_h * LANES)
+    call = pl.pallas_call(
+        functools.partial(_fused_blend_kernel, time_t=float(time_t)),
+        out_shape=(
+            jax.ShapeDtypeStruct(out2d, jnp.uint8),
+            jax.ShapeDtypeStruct(out2d, jnp.uint8),
+        ),
+        grid=(t_v, t_h),
+        in_specs=[
+            pl.BlockSpec((1, 2, tc_v, 2 * stride_v), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, 2 * shl, tc_h * LANES), lambda i, j: (j, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((stride_v, shl), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((stride_v, shl), lambda i, j: (i, j + 1), memory_space=pltpu.VMEM),
+            pl.BlockSpec((stride_v, shl), lambda i, j: (i + 1, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((stride_v, shl), lambda i, j: (i + 1, j + 1), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc_v, tc_h * LANES), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tc_v, tc_h * LANES), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc_v, tc_h * LANES), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )
+
+    total_v = (t_v + 1) * stride_v
+    total_h = (t_h + 1) * stride_h
+
+    @jax.jit
+    def _fn(cur_u8: jax.Array, prev_up_2d: jax.Array):
+        flat = cur_u8.reshape(in_h, in_w * LANES)
+        flat = jnp.pad(
+            flat,
+            (
+                (halo_v, total_v - halo_v - in_h),
+                (halo_h * LANES, (total_h - halo_h - in_w) * LANES),
+            ),
+        )
+        return call(wv, wh, flat, flat, flat, flat, prev_up_2d)
+
+    def fn(cur_u8: jax.Array, prev_up_2d: jax.Array):
+        return _fn(cur_u8, prev_up_2d)
+
+    fn.out2d = out2d
+    fn.out_hw = (out_h, out_w)
+    return fn

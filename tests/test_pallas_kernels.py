@@ -157,3 +157,39 @@ def test_trunk_fused_matches_xla_chain(rng):
     assert out.shape == ref.shape
     # bf16 both sides; accumulation-order noise only (borders included)
     assert np.max(np.abs(out - ref)) < 0.1, np.max(np.abs(out - ref))
+
+
+def test_fused_blend_matches_resample_plus_blend(rng):
+    """make_pallas_fused_blend: the upscale output must equal the fused
+    resampler bit-exact, and the mid must equal blend_only(prev, upscale)."""
+    from nu_scaler_tpu.kernels.resample_pallas import (
+        make_pallas_fused,
+        make_pallas_fused_blend,
+    )
+    from nu_scaler_tpu.ops.interpolate import blend_only
+
+    in_h, in_w, out_h, out_w = 128, 256, 256, 512
+    fb = make_pallas_fused_blend(in_h, in_w, out_h, out_w, "lanczos3", 0.5)
+    if fb is None:
+        pytest.skip("banded form does not tile")
+    plain = make_pallas_fused(in_h, in_w, out_h, out_w, "lanczos3")
+    cur = rng.integers(0, 256, (in_h, in_w, 4), np.uint8)
+    prev_up = np.zeros(fb.out2d, np.uint8)
+    prev_up_inner = rng.integers(0, 256, (out_h, out_w * 4), np.uint8)
+    prev_up[:out_h, : out_w * 4] = prev_up_inner
+
+    cur_up_2d, mid_2d = fb(jnp.asarray(cur), jnp.asarray(prev_up))
+    cur_up = np.asarray(cur_up_2d)[:out_h, : out_w * 4].reshape(out_h, out_w, 4)
+    mid = np.asarray(mid_2d)[:out_h, : out_w * 4].reshape(out_h, out_w, 4)
+
+    ref_up = np.asarray(plain(jnp.asarray(cur)))
+    np.testing.assert_array_equal(cur_up, ref_up)
+    ref_mid = np.asarray(
+        blend_only(prev_up_inner.reshape(out_h, out_w, 4), ref_up, 0.5)
+    )
+    # the kernel rounds the exact mix; blend_only's f32 ×(1/255)→×255
+    # roundtrip can flip exact-half ties by 1 — allow ±1 on ties only
+    diff = mid.astype(np.int32) - ref_mid.astype(np.int32)
+    assert np.abs(diff).max() <= 1
+    ties = (prev_up_inner.reshape(out_h, out_w, 4).astype(np.int32) + ref_up) % 2 == 1
+    assert np.all((diff == 0) | ties)

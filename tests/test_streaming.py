@@ -76,3 +76,33 @@ def test_live_pipeline_amortized_blend(rng):
     # blend∘upscale vs upscale∘blend agree up to rounding
     for a, b in zip(outs_n, outs_f):
         assert psnr(np.asarray(a), np.asarray(b)) >= 50.0
+
+
+def test_live_pipeline_fused_blend_step(rng):
+    """LivePipeline with the fused resample+blend kernel: same output count
+    and frame contents (to rounding) as the amortized XLA path."""
+    from nu_scaler_tpu.kernels.resample_pallas import make_pallas_fused_blend
+    from nu_scaler_tpu.ops import interpolate as interp
+    from nu_scaler_tpu.ops.metrics import psnr
+
+    h, w = 128, 256
+    up = resample.make_resampler(h, w, 2 * h, 2 * w, "lanczos3")
+    fb = make_pallas_fused_blend(h, w, 2 * h, 2 * w, "lanczos3", 0.5)
+    assert fb is not None
+    blend = lambda a, b, t: interp.blend_only(a, b, t)  # noqa: E731
+
+    frames = _frames(rng, 3, h=h, w=w)
+    ref = LivePipeline(up, blend, depth=1, amortize_blend=True)
+    fused = LivePipeline(up, blend, depth=1, fused_step_fn=fb)
+    outs_r, outs_f = [], []
+    for f in frames:
+        outs_r += ref.put(f)
+        outs_f += fused.put(f)
+    outs_r += ref.drain()
+    outs_f += fused.drain()
+    assert len(outs_r) == len(outs_f) == 5
+    for a, b in zip(outs_r, outs_f):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.shape == b.shape == (2 * h, 2 * w, 4)
+        # upscales are bit-exact; mids differ only on f32 rounding ties
+        assert np.abs(a.astype(np.int32) - b.astype(np.int32)).max() <= 1
