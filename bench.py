@@ -93,21 +93,24 @@ def blend_amortized_body():
     return body
 
 
-def blend_fused_body():
+def blend_fused_body(ts=(0.5,)):
     """Amortized blend with the blend fused INTO the resampler kernel
     (kernels/resample_pallas.make_pallas_fused_blend): one pallas_call per
-    step emits the fresh 4K upscale AND the cross-fade mid, so the fresh
-    upscale is never re-read from HBM for the blend. State carries the
-    padded-2D 4K product between steps."""
+    step emits the fresh 4K upscale AND one cross-fade mid per t, so the
+    fresh upscale is never re-read from HBM for the blends. State carries
+    the padded-2D 4K product between steps. ts=(1/3, 2/3) is 3× frame
+    generation: three 4K output frames from one kernel pass per step."""
     from nu_scaler_tpu.kernels.resample_pallas import make_pallas_fused_blend
 
-    fb = make_pallas_fused_blend(IN_H, IN_W, OUT_H, OUT_W, "lanczos3", 0.5)
+    fb = make_pallas_fused_blend(IN_H, IN_W, OUT_H, OUT_W, "lanczos3", tuple(ts))
 
     def body(state):
         prev_up2d, cur, acc = state
-        cur_up2d, mid2d = fb(cur, prev_up2d)
+        outs = fb(cur, prev_up2d)
+        cur_up2d, mids = outs[0], outs[1:]
         nxt = cur_up2d[:IN_H, : IN_W * 4].reshape(IN_H, IN_W, 4)
-        acc = acc + jnp.sum(mid2d[:1, :32].astype(jnp.float32))
+        for m in mids:
+            acc = acc + jnp.sum(m[:1, :32].astype(jnp.float32))
         return (cur_up2d, nxt, acc)
 
     return fb, body
@@ -216,15 +219,16 @@ def bench_pipeline(mode: str, iters: int, overhead_s: float) -> dict:
         acc0 = jnp.zeros((), jnp.float32)
         spf = timed_loop(blend_amortized_body(), (prev_up, cur, acc0), iters, overhead_s)
         return {"fps": 2.0 / spf, "step_ms": spf * 1000.0}
-    if mode == "blend_fused":
+    if mode in ("blend_fused", "blend_fused_3x"):
+        ts = (1.0 / 3.0, 2.0 / 3.0) if mode == "blend_fused_3x" else (0.5,)
         frame = make_input()
-        fb, body = blend_fused_body()
+        fb, body = blend_fused_body(ts)
         prev = jax.device_put(frame)
         prev_up2d = fb(prev, jnp.zeros(fb.out2d, jnp.uint8))[0]
         cur = jax.device_put(np.roll(frame, 16, axis=1))
         acc0 = jnp.zeros((), jnp.float32)
         spf = timed_loop(body, (prev_up2d, cur, acc0), iters, overhead_s)
-        return {"fps": 2.0 / spf, "step_ms": spf * 1000.0}
+        return {"fps": (1.0 + len(ts)) / spf, "step_ms": spf * 1000.0}
     raise ValueError(f"unknown bench mode {mode!r}")
 
 
@@ -330,6 +334,12 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         res_blend_fused = {"fps": 0.0}
         log(f"pipeline[blend-f] failed: {e}")
+    try:
+        res_blend3x = bench_pipeline("blend_fused_3x", iters, overhead)
+        log(f"pipeline[blend-3x] {res_blend3x['fps']:9.1f} out-fps  {res_blend3x['step_ms']:.3f} ms/step (3x frame gen, fused kernel)")
+    except Exception as e:  # noqa: BLE001
+        res_blend3x = {"fps": 0.0}
+        log(f"pipeline[blend-3x] failed: {e}")
     try:
         res_blend_naive = bench_pipeline("blend", iters, overhead)
         log(f"pipeline[blend-2x] {res_blend_naive['fps']:9.1f} out-fps  {res_blend_naive['step_ms']:.3f} ms/step (pair-upscale)")
@@ -502,6 +512,7 @@ def main() -> None:
                 "blend_amortized_xla_fps": round(res_blend["fps"], 1),
                 "blend_pair_upscale_fps": round(res_blend_naive["fps"], 1),
                 "blend_fused_kernel_fps": round(res_blend_fused["fps"], 1),
+                "blend_fused_3x_fps": round(res_blend3x["fps"], 1),
                 "flow_mode_fps": round(res_flow["fps"], 1),
                 "flow_soft_fps": round(res_flow_soft["fps"], 1),
                 "flow_soft_3x_fps": round(res_soft3x["fps"], 1),

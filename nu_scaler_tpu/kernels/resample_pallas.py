@@ -327,10 +327,11 @@ def make_pallas_fused(in_h: int, in_w: int, out_h: int, out_w: int, algorithm: s
 
 
 def _fused_blend_kernel(wv_ref, wh_ref, b00, b01, b10, b11, prev_ref,
-                        out_ref, mid_ref, *, time_t: float):
+                        out_ref, *mid_refs, time_ts: tuple):
     """_fused_kernel + amortized-blend epilogue: emits the upscaled tile AND
-    `blend_only(prev_tile, upscaled_tile, t)` in one pass, so the north-star
-    step needs no separate 4K blend read of the fresh upscale."""
+    `blend_only(prev_tile, upscaled_tile, t)` for EVERY t in `time_ts` in
+    one pass — 2× interpolation is one mid; 3×/4× frame generation is two/
+    three extra cheap VPU mixes on the same VMEM-resident tiles."""
     top = jnp.concatenate([b00[:], b01[:]], axis=1)
     bot = jnp.concatenate([b10[:], b11[:]], axis=1)
     slab = jnp.concatenate([top, bot], axis=0)  # [2sv, 2sh*4] u8
@@ -354,28 +355,34 @@ def _fused_blend_kernel(wv_ref, wh_ref, b00, b01, b10, b11, prev_ref,
     out_ref[:] = res_i32.astype(jnp.uint8)
     # blend_only semantics on the TRUNCATED u8 result (ops/interpolate.py:
     # 358) — computed as the EXACT mix round(a + (b−a)·t): u8 values and
-    # t=0.5 halves are f32-exact, so this is the true rounding; blend_only's
-    # ×(1/255)→×255 f32 roundtrip perturbs exact .5 ties by ≤1 ulp, so the
-    # two paths may differ by ±1 on tie pixels (gated in the parity test)
+    # binary-fraction t are f32-exact, so this is the true rounding;
+    # blend_only's ×(1/255)→×255 f32 roundtrip perturbs exact .5 ties by
+    # ≤1 ulp, so the two paths may differ by ±1 on ties (gated in tests)
     a = prev_ref[:].astype(jnp.int32).astype(jnp.float32)
     b = res_i32.astype(jnp.float32)
-    mix = a + (b - a) * jnp.float32(time_t)
-    mid_ref[:] = (
-        jnp.clip(jnp.round(mix), 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
-    )
+    for mid_ref, t in zip(mid_refs, time_ts):
+        mix = a + (b - a) * jnp.float32(t)
+        mid_ref[:] = (
+            jnp.clip(jnp.round(mix), 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
+        )
 
 
 @functools.lru_cache(maxsize=16)
 def make_pallas_fused_blend(
     in_h: int, in_w: int, out_h: int, out_w: int, algorithm: str,
-    time_t: float = 0.5,
+    time_t=0.5,
 ):
     """Amortized-interpolation step as ONE kernel: ``(cur_u8 [H, W, 4],
-    prev_up_2d u8 [t_v·tc_v, t_h·tc_h·4]) → (cur_up_2d, mid_2d)`` where
-    cur_up_2d is the fused-resampler 4K product (padded 2D form, feed it
-    back as next step's prev) and mid_2d == blend_only(prev, cur_up, t) on
-    the same padded grid. Slice ``[:out_h, :out_w*4].reshape(out_h, out_w,
-    4)`` for consumers. None when the banded form doesn't tile."""
+    prev_up_2d u8 [t_v·tc_v, t_h·tc_h·4]) → (cur_up_2d, mid_2d, ...)``
+    where cur_up_2d is the fused-resampler 4K product (padded 2D form, feed
+    it back as next step's prev) and each mid == blend_only(prev, cur_up,
+    t) on the same padded grid. ``time_t`` may be a float (2× interp, one
+    mid) or a tuple of floats (N-factor frame generation — e.g. (1/3, 2/3)
+    emits two mids + the upscale, THREE output frames from one kernel pass).
+    Slice ``[:out_h, :out_w*4].reshape(out_h, out_w, 4)`` for consumers.
+    None when the banded form doesn't tile."""
+    ts = tuple(float(t) for t in time_t) if isinstance(time_t, (tuple, list)) \
+        else (float(time_t),)
     algorithm = _r.normalize_algorithm(algorithm)
     bv = _r._banded_axis(in_h, out_h, algorithm)
     bh = _r._banded_axis(in_w, out_w, algorithm)
@@ -397,10 +404,9 @@ def make_pallas_fused_blend(
     shl = stride_h * LANES
     out2d = (t_v * tc_v, t_h * tc_h * LANES)
     call = pl.pallas_call(
-        functools.partial(_fused_blend_kernel, time_t=float(time_t)),
-        out_shape=(
-            jax.ShapeDtypeStruct(out2d, jnp.uint8),
-            jax.ShapeDtypeStruct(out2d, jnp.uint8),
+        functools.partial(_fused_blend_kernel, time_ts=ts),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct(out2d, jnp.uint8) for _ in range(1 + len(ts))
         ),
         grid=(t_v, t_h),
         in_specs=[
@@ -412,9 +418,9 @@ def make_pallas_fused_blend(
             pl.BlockSpec((stride_v, shl), lambda i, j: (i + 1, j + 1), memory_space=pltpu.VMEM),
             pl.BlockSpec((tc_v, tc_h * LANES), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((tc_v, tc_h * LANES), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tc_v, tc_h * LANES), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_specs=tuple(
+            pl.BlockSpec((tc_v, tc_h * LANES), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+            for _ in range(1 + len(ts))
         ),
         interpret=interpret,
     )

@@ -193,3 +193,23 @@ def test_fused_blend_matches_resample_plus_blend(rng):
     assert np.abs(diff).max() <= 1
     ties = (prev_up_inner.reshape(out_h, out_w, 4).astype(np.int32) + ref_up) % 2 == 1
     assert np.all((diff == 0) | ties)
+
+
+def test_fused_blend_multi_t(rng):
+    """time_t as a tuple: (1/3, 2/3) emits two mids + the upscale, each mid
+    matching the single-t kernel at its own t."""
+    from nu_scaler_tpu.kernels.resample_pallas import make_pallas_fused_blend
+
+    in_h, in_w, out_h, out_w = 128, 256, 256, 512
+    fb3 = make_pallas_fused_blend(in_h, in_w, out_h, out_w, "lanczos3", (1 / 3, 2 / 3))
+    if fb3 is None:
+        pytest.skip("banded form does not tile")
+    cur = rng.integers(0, 256, (in_h, in_w, 4), np.uint8)
+    prev_up = rng.integers(0, 256, fb3.out2d, np.uint8).astype(np.uint8)
+
+    cur_up, m1, m2 = fb3(jnp.asarray(cur), jnp.asarray(prev_up))
+    for t, m in ((1 / 3, m1), (2 / 3, m2)):
+        single = make_pallas_fused_blend(in_h, in_w, out_h, out_w, "lanczos3", t)
+        cu_s, m_s = single(jnp.asarray(cur), jnp.asarray(prev_up))
+        np.testing.assert_array_equal(np.asarray(cur_up), np.asarray(cu_s))
+        np.testing.assert_array_equal(np.asarray(m), np.asarray(m_s))

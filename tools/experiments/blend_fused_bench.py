@@ -26,6 +26,8 @@ def main() -> None:
     log(f"blend (XLA 4K blend)   : {r['step_ms']:7.3f} ms/step → {r['fps']:7.1f} out-fps")
     r = bench.bench_pipeline("blend_fused", 100, 0.0)
     log(f"blend-f (fused kernel) : {r['step_ms']:7.3f} ms/step → {r['fps']:7.1f} out-fps")
+    r = bench.bench_pipeline("blend_fused_3x", 100, 0.0)
+    log(f"blend-3x (fused, 2 mids): {r['step_ms']:7.3f} ms/step → {r['fps']:7.1f} out-fps")
 
 
 if __name__ == "__main__":
