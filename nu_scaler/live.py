@@ -35,6 +35,8 @@ class LiveSession:
         interpolation: bool = False,
         interpolation_mode: str = "blend",
         target: Optional[object] = None,
+        window: Optional[object] = None,
+        region: Optional[object] = None,
         sink: Optional[Callable[[bytes, int, int], None]] = None,
         fps: float = 60.0,
     ) -> None:
@@ -48,6 +50,10 @@ class LiveSession:
         self.sink = sink or (lambda data, w, h: None)
         self.capture = nu_scaler_core.PyScreenCapture()
         self.target = target or nu_scaler_core.PyCaptureTarget.FullScreen
+        # window/region ride along to capture.start — the WindowByTitle /
+        # Region targets of the reference live loop (main.py:733, lib.rs:298)
+        self.window = window
+        self.region = region
         self.upscaler: Optional[nu_scaler_core.PyWgpuUpscaler] = None
         self.interpolator = (
             nu_scaler_core.WgpuFrameInterpolator(mode=interpolation_mode)
@@ -72,7 +78,7 @@ class LiveSession:
     # -- lifecycle --------------------------------------------------------
 
     def start(self) -> "LiveSession":
-        self.capture.start(self.target)
+        self.capture.start(self.target, self.window, self.region)
         self._stop.clear()
         self._thread = threading.Thread(target=self._run, name="nu-live", daemon=True)
         self._thread.start()

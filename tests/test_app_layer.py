@@ -70,11 +70,19 @@ def test_logger(tmp_path, monkeypatch):
 
 
 def test_live_session_headless():
+    import nu_scaler_core
+
     frames = []
+    # Region capture keeps the CPU-backend compile small (a full 1080p→4K
+    # program takes ~40 s to build on the virtual mesh — an environment
+    # property, not a pipeline one) while exercising the same loop, and
+    # covers the LiveSession region plumbing (lib.rs:298 Region target).
     session = LiveSession(
         scale=2.0,
         algorithm="bilinear",
         quality="performance",
+        target=nu_scaler_core.PyCaptureTarget.Region,
+        region=nu_scaler_core.PyRegion(0, 0, 320, 240),
         sink=lambda d, w, h: frames.append((len(d), w, h)),
         fps=30,
     ).start()
@@ -141,8 +149,16 @@ def test_live_session_technology_selection():
     selected technology string."""
     from nu_scaler.live import LiveSession
 
+    import nu_scaler_core
+
     for tech, name in (("fsr", "FsrUpscaler"), ("wgpu", "WgpuUpscaler")):
-        s = LiveSession(technology=tech, scale=1.5, fps=120.0, quality="performance")
+        # small region: keeps first-frame compile well under the deadline on
+        # the CPU test backend (fullscreen 1080p programs build in ~40 s)
+        s = LiveSession(
+            technology=tech, scale=1.5, fps=120.0, quality="performance",
+            target=nu_scaler_core.PyCaptureTarget.Region,
+            region=nu_scaler_core.PyRegion(0, 0, 256, 128),
+        )
         s.start()
         try:
             deadline = time.monotonic() + 10.0
