@@ -752,6 +752,7 @@ def flow_tiles_fast(
     tile: tuple = WARP_TILE,
     levels: int = DEFAULT_PYRAMID_LEVELS,
     coarse_iters: int = DEFAULT_COARSE_ITERS,
+    base_level: int | None = None,
 ) -> jax.Array:
     """Per-tile mean motion [H/th, W/tw, 2] in full-res pixel units, computed
     WITHOUT the finest pyramid level or the full-res upsample.
@@ -779,9 +780,20 @@ def flow_tiles_fast(
 
     Requires even tile dims and frame dims divisible by the tile (the
     callers' Pallas-compatibility condition already guarantees this).
+
+    ``base_level=None`` picks the production rule above; an explicit value
+    (clamped to what the tile dims divide) is the latency/quality knob —
+    e.g. 3 (eighth-res flow) measured −0.04 dB / −0.011 SSIM vs quarter-res
+    at 1080p (soft_base_level_1080p.py).
     """
     th, tw = tile
-    base_level = 2 if frame_a.shape[-3] >= 720 and th % 4 == 0 and tw % 4 == 0 else 1
+    if base_level is None:
+        base_level = (
+            2 if frame_a.shape[-3] >= 720 and th % 4 == 0 and tw % 4 == 0 else 1
+        )
+    else:
+        while base_level > 1 and (th % 2**base_level or tw % 2**base_level):
+            base_level -= 1
     s = 2 ** base_level
     half = compute_flow_fast(
         frame_a, frame_b, levels, coarse_iters,
@@ -794,6 +806,7 @@ def soft_interp_fast(
     frame_a: jax.Array, frame_b: jax.Array, time_t,
     tile: tuple = WARP_TILE,
     k: int = SOFT_WARP_K,
+    flow_base_level: int | None = None,
 ) -> jax.Array:
     """Production "flow_soft" step: overlapped-tile motion-compensated
     mid-frame, u8 [H, W, 4] × 2 → u8 [H, W, 4].
@@ -814,7 +827,7 @@ def soft_interp_fast(
     ):
         from nu_scaler_tpu.kernels.soft_warp_pallas import soft_warp_blend
 
-        tiles = flow_tiles_fast(frame_a, frame_b, tile)
+        tiles = flow_tiles_fast(frame_a, frame_b, tile, base_level=flow_base_level)
         return soft_warp_blend(
             frame_a, frame_b, None, t, tile=tile, rng=WARP_RANGE, k=k,
             tiles=tiles,
@@ -827,6 +840,7 @@ def soft_interp_multi(
     frame_a: jax.Array, frame_b: jax.Array, ts,
     tile: tuple = WARP_TILE,
     k: int = SOFT_WARP_K,
+    flow_base_level: int | None = None,
 ) -> jax.Array:
     """N-factor frame generation: one motion solve, N motion-compensated
     in-between frames — u8 [H, W, 4] × 2 + times (t_1..t_n) → u8
@@ -851,7 +865,7 @@ def soft_interp_multi(
     ):
         from nu_scaler_tpu.kernels.soft_warp_pallas import soft_warp_blend
 
-        tiles = flow_tiles_fast(frame_a, frame_b, tile)
+        tiles = flow_tiles_fast(frame_a, frame_b, tile, base_level=flow_base_level)
         mids = [
             soft_warp_blend(
                 frame_a, frame_b, None, jnp.asarray(t, jnp.float32),

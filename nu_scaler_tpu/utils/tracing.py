@@ -66,8 +66,15 @@ def device_timer(
     the slope, instead of being estimated and subtracted (a mis-estimated
     overhead on a slow tunnel once turned short runs negative → 1e-9 clamps
     → absurd fps). `overhead_s` is accepted for backward compatibility and
-    ignored. Each trip count is timed `repeats` times; the min (least tunnel
-    noise) is used."""
+    ignored.
+
+    Sampling is INTERLEAVED (n1, n2, n1, n2, …) and the slope uses the
+    per-count medians: an r3 run showed min-of-3 sequential sampling is not
+    enough — a transient tunnel stall can inflate EVERY short-count sample
+    while the long-count samples (taken later) read clean, and the slope
+    then under-reports the step by 4× (a 2678-fps pipeline read 12205).
+    Interleaving puts both trip counts in the same tunnel regime; medians
+    drop residual single-sample stalls."""
     import jax
     import jax.numpy as jnp
 
@@ -95,9 +102,17 @@ def device_timer(
         return time.perf_counter() - t0
 
     once(n2)  # warm the long path too before timing
-    t1 = min(once(n1) for _ in range(repeats))
-    t2 = min(once(n2) for _ in range(repeats))
-    return max(t2 - t1, 1e-9) / (n2 - n1)
+    t1s, t2s = [], []
+    for _ in range(max(int(repeats), 2)):
+        t1s.append(once(n1))
+        t2s.append(once(n2))
+    slope = (float(np.median(t2s)) - float(np.median(t1s))) / (n2 - n1)
+    # the long-count average is a hard upper bound on the true step time
+    # (it still CONTAINS the positive dispatch/fetch overhead), so a slope
+    # above it means the short-count samples hit a stall window — fall back
+    # to the bound-respecting estimate rather than report an inflated step
+    upper = min(t2s) / n2
+    return min(max(slope, 1e-9), upper)
 
 
 class FrameClock:

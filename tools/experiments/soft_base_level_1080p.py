@@ -72,7 +72,7 @@ def main() -> None:
     print(f"blend           {psnr(blend, truth):6.2f} dB  {ssim(blend, truth):.4f}",
           flush=True)
 
-    for bl in (1, 2):
+    for bl in (1, 2, 3):
         half = I.compute_flow_fast(
             jnp.asarray(f0), jnp.asarray(f2), base_level=bl, upsample=False
         )
