@@ -156,6 +156,17 @@ def make_model(arch: str, stages: int):
             jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32)
         )
         return model, params
+    if arch == "tpu4b1":
+        # tpu4 with a SINGLE residual block: two convs fewer than tpu4b2
+        # (~0.6 ms of the 4.16 ms serving frame → ~280 fps) — the r3 lever
+        # for clearing the 240 fps gate with real margin instead of the
+        # coin-flip 239.8-241.4 band tpu4b2 sits in. Served only if the
+        # held-out quality stays ≥ +4 dB vs lanczos3.
+        model = el.ESRGANLiteTPU(upscale=2**stages, stride=4, features=128, blocks=1)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32)
+        )
+        return model, params
     if arch == "tpu8":
         # trunk at 1/8 res (135p), 128 channels, sparse fixed base: the
         # fastest end-to-end serving config of tools/esrgan_arch_sweep.py
@@ -201,11 +212,14 @@ def train(
     if restored is not None:
         params, start = restored
         print(f"resumed from step {start}")
-    elif arch == "tpu4b2":
-        # warm start from the trained tpu4 checkpoint: identical structure
-        # minus block2 (head/blocks/trunk/tail shapes match), so the net
-        # starts near the 3-block optimum instead of from scratch
-        donor = load_checkpoint(stages, "tpu4")
+    elif arch in ("tpu4b2", "tpu4b1"):
+        # warm start from the trained next-deeper checkpoint: identical
+        # structure minus the last residual block (head/blocks/trunk/tail
+        # shapes match), so the net starts near the deeper optimum instead
+        # of from scratch
+        donor = load_checkpoint(stages, "tpu4b2" if arch == "tpu4b1" else "tpu4")
+        if donor is None and arch == "tpu4b1":
+            donor = load_checkpoint(stages, "tpu4")
         if donor is not None:
             dp = donor[0]["params"] if "params" in donor[0] else donor[0]
             wp = params["params"] if "params" in params else params
@@ -214,7 +228,8 @@ def train(
                     wp[name] = jax.tree_util.tree_map(
                         lambda a: jnp.asarray(np.asarray(a)), dp[name]
                     )
-            print(f"warm-started from tpu4 step {donor[1]} (block2 dropped)")
+            print(f"warm-started for {arch} from donor step {donor[1]} "
+                  "(last block dropped)")
     opt = optax.adam(lr)
     step_fn = el.make_train_step(model, opt, loss_kind)
     opt_state = opt.init(params)
@@ -277,7 +292,7 @@ if __name__ == "__main__":
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument(
         "--arch", default="lite",
-        choices=["lite", "tpu", "tpu4", "tpu4b2", "tpu8", "tpu8w"],
+        choices=["lite", "tpu", "tpu4", "tpu4b2", "tpu4b1", "tpu8", "tpu8w"],
     )
     p.add_argument("--data", default="video", choices=["video", "synthetic"])
     p.add_argument("--crop", type=int, default=96)
