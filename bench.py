@@ -347,19 +347,19 @@ def main() -> None:
         res_blend_naive = {"fps": 0.0}
         log(f"pipeline[blend-2x] failed: {e}")
     try:
-        res_flow = bench_pipeline("flow", max(iters // 10, 3), overhead)
+        res_flow = bench_pipeline("flow", max(iters // 4, 3), overhead)
         log(f"pipeline[hs-flow] {res_flow['fps']:9.1f} out-fps  {res_flow['step_ms']:.3f} ms/step")
     except Exception as e:  # noqa: BLE001
         res_flow = {"fps": 0.0}
         log(f"pipeline[hs-flow] failed: {e}")
     try:
-        res_flow_soft = bench_pipeline("flow_soft", max(iters // 10, 3), overhead)
+        res_flow_soft = bench_pipeline("flow_soft", max(iters // 4, 3), overhead)
         log(f"pipeline[hs-soft] {res_flow_soft['fps']:9.1f} out-fps  {res_flow_soft['step_ms']:.3f} ms/step (overlapped-tile warp)")
     except Exception as e:  # noqa: BLE001
         res_flow_soft = {"fps": 0.0}
         log(f"pipeline[hs-soft] failed: {e}")
     try:
-        res_soft3x = bench_pipeline("soft3x", max(iters // 10, 3), overhead)
+        res_soft3x = bench_pipeline("soft3x", max(iters // 4, 3), overhead)
         log(f"pipeline[hs-soft3x] {res_soft3x['fps']:9.1f} out-fps  {res_soft3x['step_ms']:.3f} ms/step (3x frame gen, one motion solve)")
     except Exception as e:  # noqa: BLE001
         res_soft3x = {"fps": 0.0}
@@ -452,7 +452,7 @@ def main() -> None:
             out = efn(state)
             return out[:IN_H, :IN_W, :]
 
-        spf = timed_loop(ebody, jax.device_put(make_input()), max(iters // 4, 3), overhead)
+        spf = timed_loop(ebody, jax.device_put(make_input()), max(iters // 2, 3), overhead)
         extras["esrgan_fps"] = round(1.0 / spf, 1)
         arch = getattr(efn, "arch", "?")
         log(f"upscale[esrgan   ] 1080p→4K {extras['esrgan_fps']:9.1f} fps (learned tier, {arch})")

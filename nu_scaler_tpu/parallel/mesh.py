@@ -213,6 +213,43 @@ def fsr_batch_sharded(
 
 
 @functools.lru_cache(maxsize=16)
+def _spatial_fsr_fn(mesh_key, in_h: int, in_w: int, out_h: int, out_w: int,
+                    quality: str, axis: str):
+    from nu_scaler_tpu.ops import fsr as _fsr
+
+    mesh = mesh_key
+    sh_in = NamedSharding(mesh, P(axis, None, None))
+    sh_out = NamedSharding(mesh, P(axis, None, None))
+    # impl="xla": the fused Pallas phase kernel is opaque to the SPMD
+    # partitioner (it would force an all-gather of the frame); the planar
+    # polyphase EASU→RCAS chain is pad+slice stencils that partition
+    # cleanly — XLA inserts the 2-ring halo exchanges over ICI from the
+    # in/out sharding annotations alone.
+    fn = _fsr.make_fsr_upscaler(in_h, in_w, out_h, out_w, quality, impl="xla")
+    return jax.jit(fn, in_shardings=sh_in, out_shardings=sh_out)
+
+
+def fsr_frame_spatial(
+    frame,
+    out_h: int,
+    out_w: int,
+    quality: str = "quality",
+    mesh: Mesh | None = None,
+    axis: str = "batch",
+) -> jax.Array:
+    """ONE frame's FSR (EASU+RCAS) with the frame sharded spatially (sp):
+    input/output rows split over the mesh so a single frame's latency can
+    use the whole slice — the FSR counterpart of `upscale_frame_spatial` /
+    `interpolate_frame_spatial`. frame: u8 [H, W, 4]."""
+    if mesh is None:
+        mesh = make_mesh(axis=axis)
+    in_h, in_w = int(frame.shape[0]), int(frame.shape[1])
+    fn = _spatial_fsr_fn(mesh, in_h, in_w, int(out_h), int(out_w), quality, axis)
+    sh = NamedSharding(mesh, P(axis, None, None))
+    return fn(jax.device_put(jnp.asarray(frame, jnp.uint8), sh))
+
+
+@functools.lru_cache(maxsize=16)
 def _spatial_interp_fn(mesh_key, mode: str, levels: int, axis: str):
     from nu_scaler_tpu.ops import interpolate as _interp
 

@@ -150,3 +150,19 @@ def test_esrgan_infer_spatial_matches_single_device():
     out_sp = np.asarray(pmesh.esrgan_infer_spatial(m, p, x, mesh))
     out_ref = np.asarray(m.apply(p, x))
     np.testing.assert_allclose(out_sp, out_ref, rtol=2e-5, atol=2e-5)
+
+
+def test_fsr_frame_spatial_matches_single(rng):
+    """sp FSR: ONE frame's rows sharded over the mesh through the XLA
+    polyphase EASU+RCAS chain (halo exchanges from the sharding
+    annotations). Must match the single-device XLA program exactly."""
+    from nu_scaler_tpu.ops import fsr as F
+
+    m = pmesh.make_mesh()
+    frame = rng.integers(0, 256, (16, 24, 4), np.uint8)
+    out = np.asarray(pmesh.fsr_frame_spatial(frame, 32, 48, "quality", m))
+    assert out.shape == (32, 48, 4)
+    single = np.asarray(
+        F.make_fsr_upscaler(16, 24, 32, 48, "quality", impl="xla")(frame)
+    )
+    np.testing.assert_array_equal(out, single)
