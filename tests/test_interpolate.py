@@ -253,3 +253,35 @@ def test_interpolate_multi_py_api():
         it.interpolate_multi_py(a.tobytes(), b.tobytes(), w, h, times=(1.5,))
     with pytest.raises(ValueError):
         it.interpolate_multi_py(a.tobytes()[:-4], b.tobytes(), w, h)
+
+
+def test_flow_base_level_knob_clamps_and_tracks_motion():
+    """flow_base_level: the latency/quality knob on the fused soft path.
+    Explicit levels must keep tile-divisibility (an impossible level clamps
+    down to what the warp tile divides), and a coarser flow must still
+    motion-compensate better than a plain cross-fade."""
+    h, w = 64, 256
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+
+    def scene(offset):
+        img = np.zeros((h, w, 4), np.uint8)
+        blob = 230.0 * np.exp(
+            -(((xx - 80.0 - offset) / 16.0) ** 2 + ((yy - 32.0) / 12.0) ** 2)
+        )
+        for c in range(3):
+            img[..., c] = np.clip(20.0 + blob, 0, 255).astype(np.uint8)
+        img[..., 3] = 255
+        return img
+
+    import jax.numpy as jnp
+
+    a, b, truth = scene(0), scene(10), scene(5)
+    blend = psnr(np.asarray(interp.blend_only(jnp.asarray(a), jnp.asarray(b), 0.5)), truth)
+    for bl in (2, 3):
+        mid = np.asarray(interp.soft_interp_fast(a, b, 0.5, flow_base_level=bl))
+        assert psnr(mid, truth) > blend + 3.0, f"bl={bl} barely beats blend"
+    # level 9 is impossible for the (8, 128) warp tile → clamps (no crash),
+    # and clamps to the SAME level 3 ⇒ identical output
+    hi = np.asarray(interp.soft_interp_fast(a, b, 0.5, flow_base_level=9))
+    lo = np.asarray(interp.soft_interp_fast(a, b, 0.5, flow_base_level=3))
+    np.testing.assert_array_equal(hi, lo)
