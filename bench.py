@@ -56,7 +56,7 @@ def fetch_overhead_s(reps: int = 10) -> float:
     return (time.perf_counter() - t0) / reps
 
 
-def timed_loop(body, state0, iters: int, overhead_s: float) -> float:
+def timed_loop(body, state0, iters: int, overhead_s: float, repeats: int = 3) -> float:
     """Run chained steps of `body` in one jitted fori_loop; return seconds per
     step (device time). Slope method via tracing.device_timer: the same
     compiled loop is timed at `iters` and 4×`iters` trip counts and the
@@ -66,7 +66,7 @@ def timed_loop(body, state0, iters: int, overhead_s: float) -> float:
     del overhead_s
     from nu_scaler_tpu.utils.tracing import device_timer
 
-    return device_timer(body, state0, iters=iters)
+    return device_timer(body, state0, iters=iters, repeats=repeats)
 
 
 def make_input(seed: int = 0) -> np.ndarray:
@@ -452,7 +452,13 @@ def main() -> None:
             out = efn(state)
             return out[:IN_H, :IN_W, :]
 
-        spf = timed_loop(ebody, jax.device_put(make_input()), max(iters // 2, 3), overhead)
+        # the gate metric (esrgan_fps >= 240): true serving rate sits within
+        # ~1 fps of the gate, so sample it hardest (50-step chains x 5
+        # interleaved repeats per trip count)
+        spf = timed_loop(
+            ebody, jax.device_put(make_input()), max(iters // 2, 3), overhead,
+            repeats=5,
+        )
         extras["esrgan_fps"] = round(1.0 / spf, 1)
         arch = getattr(efn, "arch", "?")
         log(f"upscale[esrgan   ] 1080p→4K {extras['esrgan_fps']:9.1f} fps (learned tier, {arch})")
@@ -461,7 +467,7 @@ def main() -> None:
     # performance learned tier (stride-8 ladder: NuScaler("dlss","performance"))
     try:
         ffn = el.make_fast_upscaler(IN_H, IN_W, OUT_H, OUT_W)
-        if getattr(ffn, "arch", None) in ("tpu8", "tpu8w"):
+        if getattr(ffn, "arch", None) in ("tpu4b1", "tpu8", "tpu8w"):
 
             def fbody(state):
                 out = ffn(state)

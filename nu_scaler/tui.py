@@ -287,11 +287,12 @@ def handle_key(model: MainWindowModel, key: str) -> bool:
                 frame_count=2,
             )
         elif key == "e" and model.benchmark.state.results:
+            import os
             import tempfile
 
-            model.benchmark.export_csv(
-                tempfile.mktemp(prefix="nu_scaler_bench_", suffix=".csv")
-            )
+            fd, path = tempfile.mkstemp(prefix="nu_scaler_bench_", suffix=".csv")
+            os.close(fd)
+            model.benchmark.export_csv(path)
     elif scr == "accessibility":
         a = model.accessibility
         if key == "T":

@@ -508,6 +508,13 @@ _ARCH_LADDER = {
         ("tpu", {}),
     ),
     "performance": (
+        # tpu4b1 (r3, warm-started from tpu4b2) DOMINATES the stride-8
+        # trunks on both axes: +2.21 dB / +0.046 SSIM held-out at 254 fps
+        # vs tpu8w's +1.98 dB at 202 fps (tpu4b1_eval_bench.py) — the
+        # stride-4 phase reconstruction keeps the spatial detail the 16×16-
+        # phase stride-8 tail loses, and one residual block is enough to
+        # beat C=192 at 135p.
+        ("tpu4b1", dict(stride=4, features=128, blocks=1)),
         ("tpu8w", dict(stride=8, features=192)),
         ("tpu8", dict(stride=8, features=128)),
         ("tpu4b2", dict(stride=4, features=128, blocks=2)),
@@ -674,6 +681,12 @@ def make_serving_fn_fused(model, params, in_h, in_w, dtype=jnp.bfloat16):
             for (oy, ox, a, bm) in terms
         ]
     else:
+        # MEASURED NEGATIVE (r3): folding the base conv INTO the tail conv
+        # (stack [tail_k; base_k] on the input-channel axis, one VALID conv
+        # over concat(zero-pad(h), edge-pad(s2d)) — exact, and it fills the
+        # base's underfilled 64-lane contraction) ran 4.409 vs 4.159 ms
+        # end-to-end: the 272×482×192 concat+pad materialization costs more
+        # than the lane-fill recovers. Separate tail + base stays.
         base_k = jnp.asarray(_bilinear_base_kernel(4, up, st))
 
     def conv(x, k, b=None, pad="SAME"):
@@ -713,9 +726,12 @@ def make_serving_fn_fused(model, params, in_h, in_w, dtype=jnp.bfloat16):
             sp = jnp.pad(s2d, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
             base = conv(sp, base_k, pad="VALID")
         phases = tail + base  # [1, nh, nw, r²·4] raw-scale RGBA-interleaved
-        ph_u8 = jnp.clip(
-            jnp.round(phases[0].astype(jnp.float32)), 0, 255
-        ).astype(jnp.uint8)
+        # quantize in the compute dtype: bf16 phases carry ≤0.5 ulp at the
+        # u8 range's top (ulp(bf16)=1.0 in [128,256) — values there are
+        # already integers), so rounding before an f32 cast is value-
+        # identical to rounding after it and skips materializing a 33 MB
+        # f32 tensor when XLA doesn't fuse the cast chain
+        ph_u8 = jnp.clip(jnp.round(phases[0]), 0, 255).astype(jnp.uint8)
         rows = [
             ph_u8[..., q * r * 4 : (q + 1) * r * 4].reshape(nh, out_w, 4)
             for q in range(r)

@@ -128,9 +128,11 @@ def test_x4_checkpoint_serves_scale4():
     assert out.shape == (128, 256, 4) and out.dtype == np.uint8
 
 
-def test_performance_ladder_prefers_stride8():
-    """make_fast_upscaler must serve a stride-8 arch when its checkpoint
-    exists; make_pretrained_upscaler must stay on the quality-first ladder."""
+def test_performance_ladder_prefers_fast_archs():
+    """make_fast_upscaler must serve the performance ladder's head (tpu4b1
+    since r3 — it dominates the stride-8 trunks on both axes; stride-8 stays
+    as fallback); make_pretrained_upscaler must stay on the quality-first
+    ladder."""
     import os
     import pytest
 
@@ -139,7 +141,7 @@ def test_performance_ladder_prefers_stride8():
     if not os.path.exists(os.path.join(ckpt_dir(1, "tpu8"), "latest.txt")):
         pytest.skip("no tpu8 checkpoint")
     fast = el.make_fast_upscaler(32, 64, 64, 128)
-    assert fast.arch in ("tpu8", "tpu8w"), fast.arch
+    assert fast.arch in ("tpu4b1", "tpu8", "tpu8w"), fast.arch
     qual = el.make_pretrained_upscaler(32, 64, 64, 128)
     assert qual.arch in ("tpu4b2", "tpu4", "tpu", "lite"), qual.arch
     # both must honor the u8 RGBA contract
@@ -161,7 +163,7 @@ def test_facade_dlss_performance_uses_fast_ladder():
     up = nsc.NuScaler.with_technology("dlss", "performance").upscaler
     assert getattr(up, "learned_prefer", "quality") == "performance"
     up.initialize(64, 32, 128, 64)
-    assert getattr(up._fn, "arch", None) in ("tpu8", "tpu8w")
+    assert getattr(up._fn, "arch", None) in ("tpu4b1", "tpu8", "tpu8w")
     up_q = nsc.NuScaler.with_technology("dlss", "ultra").upscaler
     up_q.initialize(64, 32, 128, 64)
     assert getattr(up_q._fn, "arch", None) in ("tpu4b2", "tpu4", "tpu", "lite")
