@@ -112,6 +112,10 @@ def main(argv=None) -> int:
     gu = sub.add_parser("gui", help="PySide6 GUI")
     gu.set_defaults(fn=lambda a: __import__("nu_scaler.gui", fromlist=["main"]).main())
 
+    tu = sub.add_parser("tui", help="curses terminal UI")
+    tu.add_argument("rest", nargs=argparse.REMAINDER)
+    tu.set_defaults(fn=lambda a: __import__("nu_scaler.tui", fromlist=["main"]).main(a.rest))
+
     args = p.parse_args(argv)
     if getattr(args, "cpu", False):
         import jax
