@@ -29,8 +29,13 @@ def _create_upscaler(technology: str, quality: str):
         # (stride-8 trunks) instead of the quality-first one.
         q = "ultra" if t == "dlss" else quality
         up = PyAdvancedWgpuUpscaler(q, "bilinear", True)
-        if t == "dlss" and (quality or "").lower() in ("performance", "balanced"):
-            up.learned_prefer = "performance"
+        if t == "dlss":
+            ql = (quality or "").lower()
+            if ql in ("performance", "balanced"):
+                up.learned_prefer = "performance"
+            elif ql == "ultra":
+                # the held-out quality peak (tpu4) — slower, max fidelity
+                up.learned_prefer = "ultra"
         return up
     if t in ("none", "fsr3", "xess", "nis", "cuda", "vulkan", "gpu"):
         # legacy G1 technologies — resolved through the registry's fallback

@@ -236,18 +236,22 @@ class PyAdvancedWgpuUpscaler(PyWgpuUpscaler):
             try:
                 from nu_scaler_tpu.models import esrgan_lite
 
-                # learned_prefer="performance" (set by the facade for
-                # dlss×performance/balanced requests) serves the faster
-                # stride-8 trunks; default is the quality-first ladder
-                build = (
-                    esrgan_lite.make_fast_upscaler
-                    if getattr(self, "learned_prefer", "quality") == "performance"
-                    else esrgan_lite.make_pretrained_upscaler
-                )
-                self._fn = build(
-                    self.input_height, self.input_width,
-                    self.output_height, self.output_width,
-                )
+                # learned_prefer (set by the facade per dlss×quality
+                # request): "performance" serves the fast arch ladder,
+                # "ultra" the held-out quality peak (tpu4), default the
+                # ≥240 fps quality-first ladder (tpu4b2)
+                prefer = getattr(self, "learned_prefer", "quality")
+                if prefer == "performance":
+                    self._fn = esrgan_lite.make_fast_upscaler(
+                        self.input_height, self.input_width,
+                        self.output_height, self.output_width,
+                    )
+                else:
+                    self._fn = esrgan_lite.make_pretrained_upscaler(
+                        self.input_height, self.input_width,
+                        self.output_height, self.output_width,
+                        prefer=prefer,
+                    )
                 self._batch_polymorphic = False  # net body is single-frame
                 self._serving_tier = "learned"
             except Exception as e:  # noqa: BLE001

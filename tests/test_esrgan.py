@@ -164,7 +164,14 @@ def test_facade_dlss_performance_uses_fast_ladder():
     assert getattr(up, "learned_prefer", "quality") == "performance"
     up.initialize(64, 32, 128, 64)
     assert getattr(up._fn, "arch", None) in ("tpu4b1", "tpu8", "tpu8w")
-    up_q = nsc.NuScaler.with_technology("dlss", "ultra").upscaler
+    # dlss×ultra = the held-out quality peak (tpu4 leads its ladder)
+    up_u = nsc.NuScaler.with_technology("dlss", "ultra").upscaler
+    assert getattr(up_u, "learned_prefer", None) == "ultra"
+    up_u.initialize(64, 32, 128, 64)
+    if os.path.exists(os.path.join(ckpt_dir(1, "tpu4"), "latest.txt")):
+        assert getattr(up_u._fn, "arch", None) == "tpu4"
+    # plain dlss (quality) = the >=240 fps quality-first ladder
+    up_q = nsc.NuScaler.with_technology("dlss", "quality").upscaler
     up_q.initialize(64, 32, 128, 64)
     assert getattr(up_q._fn, "arch", None) in ("tpu4b2", "tpu4", "tpu", "lite")
 
