@@ -379,7 +379,9 @@ def test_nuscaler_facade(monkeypatch):
 
     ns2.capture.start(PyCaptureTarget.FullScreen)
     got = None
-    deadline = time.monotonic() + 2.0
+    # generous deadline: the fullscreen source's first frame needs a jit
+    # compile, and loaded CI hosts have starved a 2 s budget before
+    deadline = time.monotonic() + 60.0
     while got is None and time.monotonic() < deadline:
         got = ns2.capture.get_frame()
         time.sleep(0.01)

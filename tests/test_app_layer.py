@@ -103,7 +103,9 @@ def test_engine_facade():
         scale=2.0, quality="performance", algorithm="nearest",
         sink=lambda d, w, h: captured.append(1),
     ).start()
-    deadline = time.monotonic() + 20
+    # generous deadline: first-frame jit compile + loaded CI hosts have
+    # starved a 20 s budget before
+    deadline = time.monotonic() + 90
     while not captured and time.monotonic() < deadline:
         time.sleep(0.1)
     eng.stop()
