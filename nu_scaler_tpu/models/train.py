@@ -190,6 +190,43 @@ def make_model(arch: str, stages: int):
     return el.init_params(0, stages)
 
 
+def make_distill_step(model, optimizer, loss_kind: str, w: float):
+    """Two-term distillation step: (1-w)·loss(student, HR) + w·loss(student,
+    teacher(LR)). Teacher outputs are precomputed per pool entry (the teacher
+    is frozen), so the step only takes an extra target batch."""
+    base = el.l1_grad_loss if loss_kind == "l1_grad" else el.l1_loss
+
+    @jax.jit
+    def step(params, opt_state, lr_b, hr_b, t_b):
+        def lf(p):
+            return (1.0 - w) * base(model, p, lr_b, hr_b) + w * base(
+                model, p, lr_b, t_b
+            )
+
+        lv, grads = jax.value_and_grad(lf)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, lv
+
+    return step
+
+
+def teacher_outputs(teacher_arch: str, stages: int, lrs: np.ndarray) -> np.ndarray:
+    """Frozen-teacher predictions for every pool LR crop, batched forward."""
+    model, params = make_model(teacher_arch, stages)
+    restored = load_checkpoint(stages, teacher_arch)
+    if restored is None:
+        raise ValueError(f"no checkpoint for teacher arch {teacher_arch!r}")
+    params, step = restored
+    print(f"distilling from {teacher_arch}@{step}", flush=True)
+    fn = jax.jit(lambda x: model.apply(params, x))
+    outs = []
+    bs = 64
+    for i in range(0, lrs.shape[0], bs):
+        outs.append(np.asarray(fn(jnp.asarray(lrs[i : i + bs]))))
+    return np.concatenate(outs, axis=0)
+
+
 def train(
     steps: int = 200,
     batch: int = 8,
@@ -202,9 +239,16 @@ def train(
     data: str = "video",
     crop: int = 96,
     loss_kind: str = "l1",
+    n_clips: int = 12,
+    pool_size: int = 4096,
+    distill: str | None = None,
+    distill_w: float = 0.5,
 ) -> float:
     """Returns final loss. data: "video" (clip pairs through the y4m path —
-    the production domain) | "synthetic" (round-1 gradients/blobs)."""
+    the production domain) | "synthetic" (round-1 gradients/blobs).
+
+    distill: teacher arch name — adds w·loss(student, teacher(LR)) with
+    precomputed frozen-teacher targets over the pool (video data only)."""
     rng = np.random.default_rng(seed)
     model, params = make_model(arch, stages)
     start = 0
@@ -231,7 +275,10 @@ def train(
             print(f"warm-started for {arch} from donor step {donor[1]} "
                   "(last block dropped)")
     opt = optax.adam(lr)
-    step_fn = el.make_train_step(model, opt, loss_kind)
+    if distill is not None:
+        step_fn = make_distill_step(model, opt, loss_kind, distill_w)
+    else:
+        step_fn = el.make_train_step(model, opt, loss_kind)
     opt_state = opt.init(params)
     if restored is not None:
         prev = load_opt_state(opt_state, stages, start, arch)
@@ -240,20 +287,33 @@ def train(
             print("restored optimizer state")
 
     pool = None
+    touts = None
     if data == "video":
         from nu_scaler_tpu.models.data import PairPool
 
         print("rendering clip pool (video path)...", flush=True)
-        pool = PairPool(rng, scale=2**stages, crop=crop)
+        pool = PairPool(rng, scale=2**stages, crop=crop, n_clips=n_clips,
+                        pool_size=pool_size)
+        if distill is not None:
+            touts = teacher_outputs(distill, stages, pool.lrs)
+    elif distill is not None:
+        raise ValueError("distillation needs data='video' (pooled crops)")
 
     loss = float("nan")
     t0 = time.time()
     for step in range(steps):
         if pool is not None:
-            lr_b, hr_b = pool.batch(rng, batch)
+            idx = rng.integers(0, pool.hrs.shape[0], size=batch)
+            lr_b, hr_b = pool.lrs[idx], pool.hrs[idx]
         else:
             lr_b, hr_b = make_batch(rng, batch, scale=2**stages)
-        params, opt_state, loss = step_fn(params, opt_state, jnp.asarray(lr_b), jnp.asarray(hr_b))
+        if touts is not None:
+            params, opt_state, loss = step_fn(
+                params, opt_state, jnp.asarray(lr_b), jnp.asarray(hr_b),
+                jnp.asarray(touts[idx]),
+            )
+        else:
+            params, opt_state, loss = step_fn(params, opt_state, jnp.asarray(lr_b), jnp.asarray(hr_b))
         if step % log_every == 0:
             print(f"step {step:5d}  loss {float(loss):.5f}  ({time.time()-t0:.1f}s)", flush=True)
     print(f"final loss {float(loss):.5f}")
@@ -297,6 +357,12 @@ if __name__ == "__main__":
     p.add_argument("--data", default="video", choices=["video", "synthetic"])
     p.add_argument("--crop", type=int, default=96)
     p.add_argument("--loss", default="l1", choices=["l1", "l1_grad"])
+    p.add_argument("--clips", type=int, default=12, help="clip-pool width "
+                   "(seeds 100..100+N-1; eval seeds 900+ stay held out)")
+    p.add_argument("--pool", type=int, default=4096, help="crop-pool size")
+    p.add_argument("--distill", default=None, help="teacher arch to distill "
+                   "from (e.g. tpu4); adds w*loss(student, teacher(LR))")
+    p.add_argument("--distill-w", type=float, default=0.5)
     p.add_argument("--eval", action="store_true", help="evaluate the latest "
                    "checkpoint vs lanczos3 on held-out clips and exit")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend "
@@ -309,4 +375,6 @@ if __name__ == "__main__":
         evaluate(args.stages, args.arch)
     else:
         train(args.steps, args.batch, args.stages, args.lr, arch=args.arch,
-              data=args.data, crop=args.crop, loss_kind=args.loss)
+              data=args.data, crop=args.crop, loss_kind=args.loss,
+              n_clips=args.clips, pool_size=args.pool,
+              distill=args.distill, distill_w=args.distill_w)

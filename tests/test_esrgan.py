@@ -41,6 +41,30 @@ def test_training_reduces_loss(rng):
     assert float(loss_last) < float(loss0), f"{loss_last} !< {loss0}"
 
 
+def test_distill_step_pulls_toward_teacher(rng):
+    """The two-term distillation step reduces the combined loss, and w=1
+    (teacher-only) drives the student toward the teacher output, not HR."""
+    from nu_scaler_tpu.models.train import make_distill_step
+
+    model, params = el.init_params(stages=1, features=16, blocks=2)
+    hr = rng.random((4, 32, 32, 3), dtype=np.float32)
+    lr = hr[:, ::2, ::2, :]
+    teach = np.clip(hr + 0.25, 0.0, 1.0)  # distinct fixed "teacher" target
+    lr_j, hr_j, t_j = jnp.asarray(lr), jnp.asarray(hr), jnp.asarray(teach)
+
+    opt = optax.adam(1e-2)
+    step = make_distill_step(model, opt, "l1", w=1.0)
+    opt_state = opt.init(params)
+    params2, opt_state, loss0 = step(params, opt_state, lr_j, hr_j, t_j)
+    for _ in range(30):
+        params2, opt_state, loss_last = step(params2, opt_state, lr_j, hr_j, t_j)
+    assert float(loss_last) < float(loss0)
+    pred = model.apply(params2, lr_j)
+    d_teach = float(jnp.mean(jnp.abs(pred - t_j)))
+    d_hr = float(jnp.mean(jnp.abs(pred - hr_j)))
+    assert d_teach < d_hr, f"teacher-only distill should track teacher ({d_teach} !< {d_hr})"
+
+
 def test_sharded_train_step_runs():
     """dp×tp (4×2) training step executes and matches unsharded loss."""
     from nu_scaler_tpu.parallel.mesh import make_2d_mesh
