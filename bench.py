@@ -461,6 +461,8 @@ def main() -> None:
         )
         extras["esrgan_fps"] = round(1.0 / spf, 1)
         arch = getattr(efn, "arch", "?")
+        if getattr(efn, "quantized", False):
+            arch += "-int8"
         log(f"upscale[esrgan   ] 1080p→4K {extras['esrgan_fps']:9.1f} fps (learned tier, {arch})")
     except Exception as e:  # noqa: BLE001
         log(f"esrgan bench failed: {e}")
@@ -484,13 +486,22 @@ def main() -> None:
     try:
         from nu_scaler_tpu.models.data import eval_vs_lanczos3
 
-        # evaluate the arch the quality tier actually serves (ladder head)
+        # evaluate the arch the quality tier actually serves (ladder head),
+        # on the SAME numeric path it serves: the int8 integer-grid twin
+        # when the tier is quantized, the plain float apply otherwise
         served_arch = getattr(efn, "arch", None) or "tpu4"
-        arch_kw = dict(el._ARCH_LADDER["quality"]).get(
+        arch_kw = {e[0]: e[1] for e in el._ARCH_LADDER["quality"]}.get(
             served_arch, dict(stride=4, features=128)
         )
-        model_fn = jax.jit(lambda x: el.ESRGANLiteTPU(upscale=2, **arch_kw).apply(
-            __import__("nu_scaler_tpu.models.train", fromlist=["load_checkpoint"]).load_checkpoint(1, served_arch)[0], x))
+        _tr = __import__("nu_scaler_tpu.models.train", fromlist=["load_checkpoint"])
+        _params, _step = _tr.load_checkpoint(1, served_arch)
+        _model = el.ESRGANLiteTPU(upscale=2, **arch_kw)
+        if getattr(efn, "quantized", False):
+            model_fn = el.make_quant_apply(
+                _model, _params, _tr.load_act_scales(1, served_arch, _step)
+            )
+        else:
+            model_fn = jax.jit(lambda x: _model.apply(_params, x))
         q = eval_vs_lanczos3(model_fn, scale=2, seeds=(900, 901))
         extras["esrgan_psnr_delta_db_vs_lanczos3"] = round(q["psnr_delta_db"], 2)
         extras["esrgan_ssim_delta_vs_lanczos3"] = round(q["ssim_delta"], 4)

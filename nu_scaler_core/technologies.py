@@ -67,8 +67,8 @@ def _learned_tier_available(prefer: str) -> bool:
     from nu_scaler_tpu.models.esrgan_lite import _ARCH_LADDER
 
     root = _checkpoint_root()
-    for arch, _kw in _ARCH_LADDER.get(prefer, ()):  # ladder order
-        if os.path.isdir(os.path.join(root, f"esrgan_{arch}_x2")):
+    for entry in _ARCH_LADDER.get(prefer, ()):  # ladder order
+        if os.path.isdir(os.path.join(root, f"esrgan_{entry[0]}_x2")):
             return True
     return False
 

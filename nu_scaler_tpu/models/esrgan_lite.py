@@ -503,39 +503,48 @@ def make_fast_upscaler(
 # measured 249 fps but only lanczos3-level quality: the 128-wide trunk
 # bottlenecks the 192-dim s2d input). Performance-first tries the stride-8
 # trunks before falling back to the quality order.
+# Ladder entries are (arch, model kwargs, mode): mode "quant" means the
+# entry only serves when an int8 calibration file matches the checkpoint
+# (load_act_scales) — used to put tpu4-int8 at the head of the quality
+# ladder (260 fps ≥ 240 gate) while its bf16 form (215 fps) stays a
+# lower-priority fallback.
 _ARCH_LADDER = {
-    # the held-out quality PEAK: tpu4 (3 residual blocks, 80k steps,
-    # +5.84 dB / +0.098 SSIM vs lanczos3 at ~150 fps 1080p→4K) — served by
-    # NuScaler("dlss", "ultra"); plain "dlss" requests keep the ≥240 fps
-    # tpu4b2 quality ladder below
+    # the held-out quality PEAK: tpu4 in bf16 (3 residual blocks, 80k steps,
+    # +5.84 dB / +0.098 SSIM vs lanczos3, 215 fps on the fused graph) —
+    # served by NuScaler("dlss", "ultra"); plain "dlss" requests keep the
+    # ≥240 fps quality ladder below
     "ultra": (
-        ("tpu4", dict(stride=4, features=128)),
-        ("tpu4b2", dict(stride=4, features=128, blocks=2)),
-        ("tpu", {}),
+        ("tpu4", dict(stride=4, features=128), None),
+        ("tpu4b2", dict(stride=4, features=128, blocks=2), None),
+        ("tpu", {}, None),
     ),
     "quality": (
-        # tpu4b2 = tpu4 minus one residual block, warm-started from the tpu4
-        # checkpoint and retrained (r3, 40k steps): held-out +5.40 dB /
-        # +0.094 SSIM vs lanczos3 (tpu4: +5.21/+0.102 on the same eval) at
-        # one conv pair less serving cost (241.6 fps 1080p→4K) — the
-        # blocks=2 lever of VERDICT r2 next #1.
-        ("tpu4b2", dict(stride=4, features=128, blocks=2)),
-        ("tpu4", dict(stride=4, features=128)),
-        ("tpu", {}),
+        # tpu4-int8 (r3): the int8 MXU trunk clears the fps gate with the
+        # FULL 3-block net — 260.3 fps at held-out +5.66 dB / +0.096 SSIM
+        # (2-seed +5.05/+0.100) vs lanczos3 (int8_ladder_probe.py). Beats
+        # the bf16 tpu4b2 point (240.5 fps, +5.40) on both axes.
+        ("tpu4", dict(stride=4, features=128), "quant"),
+        # tpu4b2 = tpu4 minus one residual block (r3, 40k steps): int8
+        # 277.5 fps at +4.90/+0.090 (2-seed +4.48); bf16 240.5 fps at
+        # +5.40/+0.094 — the fallback when tpu4 calibration is absent.
+        ("tpu4b2", dict(stride=4, features=128, blocks=2), None),
+        ("tpu4", dict(stride=4, features=128), None),
+        ("tpu", {}, None),
     ),
     "performance": (
         # tpu4b1 (r3, warm-started from tpu4b2) DOMINATES the stride-8
         # trunks on both axes: +2.21 dB / +0.046 SSIM held-out at 254 fps
-        # vs tpu8w's +1.98 dB at 202 fps (tpu4b1_eval_bench.py) — the
+        # bf16 — and 305.0 fps at +2.36 dB on the int8 trunk
+        # (int8_ladder_probe.py) — vs tpu8w's +1.98 dB at 202 fps. The
         # stride-4 phase reconstruction keeps the spatial detail the 16×16-
         # phase stride-8 tail loses, and one residual block is enough to
         # beat C=192 at 135p.
-        ("tpu4b1", dict(stride=4, features=128, blocks=1)),
-        ("tpu8w", dict(stride=8, features=192)),
-        ("tpu8", dict(stride=8, features=128)),
-        ("tpu4b2", dict(stride=4, features=128, blocks=2)),
-        ("tpu4", dict(stride=4, features=128)),
-        ("tpu", {}),
+        ("tpu4b1", dict(stride=4, features=128, blocks=1), None),
+        ("tpu8w", dict(stride=8, features=192), None),
+        ("tpu8", dict(stride=8, features=128), None),
+        ("tpu4b2", dict(stride=4, features=128, blocks=2), None),
+        ("tpu4", dict(stride=4, features=128), None),
+        ("tpu", {}, None),
     ),
 }
 
@@ -543,8 +552,9 @@ _ARCH_LADDER = {
 def _build_pretrained(in_h, in_w, out_h, out_w, dtype, stages, prefer):
     model = None
     arch_name = "lite"
+    quant = None
     try:
-        from nu_scaler_tpu.models.train import load_checkpoint
+        from nu_scaler_tpu.models.train import load_act_scales, load_checkpoint
 
         # serving uses XLA convs: the Pallas conv kernel is 2x faster
         # standalone (0.196 vs 0.393 ms/conv, kernels/conv_pallas.py) but the
@@ -552,12 +562,16 @@ def _build_pretrained(in_h, in_w, out_h, out_w, dtype, stages, prefer):
         # layer pallas_calls break XLA's skip-add/boundary fusion. Kept as
         # conv_impl="pallas" for whole-trunk fusion work later.
         impl = "conv"
-        for arch, kw in _ARCH_LADDER[prefer]:
+        for arch, kw, mode in _ARCH_LADDER[prefer]:
             st_req = kw.get("stride", 2)
             if in_h % st_req or in_w % st_req:
                 continue  # s2d front end needs stride-divisible dims
             restored = load_checkpoint(stages, arch)
             if restored is not None:
+                if mode == "quant" and load_act_scales(
+                    stages, arch, restored[1]
+                ) is None:
+                    continue  # int8-gated entry without calibration
                 # stride-8 serving uses the structured sparse base
                 # (numerically equivalent to the dense fixed conv, ≤1e-5 —
                 # checkpoint-interchangeable; _sparse_base_terms);
@@ -570,18 +584,29 @@ def _build_pretrained(in_h, in_w, out_h, out_w, dtype, stages, prefer):
                 )
                 params = restored[0]
                 arch_name = arch
+                # "quality"/"performance" serve the int8 trunk when a
+                # calibration file matches the checkpoint step (277 vs 240
+                # fps on tpu4b2, held-out +4.48 dB ≥ the +4 gate —
+                # int8_serving_probe.py). "ultra" keeps the bf16 MXU path:
+                # it is the fidelity-peak tier and its extra ~0.4 dB is the
+                # whole point of asking for it.
+                if prefer != "ultra":
+                    quant = load_act_scales(stages, arch, restored[1])
                 break
     except Exception:  # noqa: BLE001
         pass
     if model is None:
         model = ESRGANLite(stages=stages)
         params = get_params(stages)
-    served = make_serving_fn(model, params, in_h, in_w, out_h, out_w, dtype)
+    served = make_serving_fn(
+        model, params, in_h, in_w, out_h, out_w, dtype, quant_scales=quant
+    )
 
     def fn(img):
         return served(img)
 
     fn.arch = arch_name  # introspection for tests / the benchmark report
+    fn.quantized = quant is not None
     return fn
 
 
@@ -625,7 +650,174 @@ def _row_phase_selectors(in_h: int, st: int):
     return tuple(sels)
 
 
-def make_serving_fn_fused(model, params, in_h, in_w, dtype=jnp.bfloat16):
+def _quant_kernel_i8(k: np.ndarray):
+    """HWIO f32 kernel → (int8 kernel, per-output-channel dequant scale).
+
+    Symmetric per-O quantization: kq[..., o] = round(k[..., o] / s_o) with
+    s_o = max|k[..., o]| / 127 (all-zero channels — e.g. the RGBA-expanded
+    tail's alpha outputs — get s=1, kq=0)."""
+    amax = np.max(np.abs(k), axis=(0, 1, 2))
+    s = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+    kq = np.clip(np.round(k / s), -127, 127).astype(np.int8)
+    return kq, s
+
+
+def _conv_i8(x, kq, dq, b, ax):
+    """int8 MXU conv with float-domain interface: quantize x by the
+    calibrated activation scale `ax`, convolve int8×int8→int32 (the v5e MXU
+    int8 path — measured 1.53× bf16 conv throughput at the trunk shape,
+    tools/experiments/int8_conv_probe.py), dequantize per output channel.
+
+    The quantize / dequantize chains are elementwise and fuse around the
+    conv; intermediates stay in registers (f32 math costs nothing extra
+    inside the fusion, and keeps round() on an exact grid)."""
+    inv = jnp.float32(127.0 / ax)
+    xq = (
+        jnp.clip(jnp.round(x.astype(jnp.float32) * inv), -127, 127)
+        .astype(jnp.int8)
+    )
+    y = jax.lax.conv_general_dilated(
+        xq, kq, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    out = y.astype(jnp.float32) * (dq * jnp.float32(ax / 127.0))
+    if b is not None:
+        out = out + b
+    return out.astype(x.dtype)
+
+
+def calibrate_trunk_scales(model, params, lr_batch) -> dict:
+    """Per-conv-input activation maxima for the int8 trunk, measured in the
+    float domain (identical to the fused serving graph's trunk domain — the
+    head kernel absorbs 1/255 there, so trunk activations match).
+
+    lr_batch: f32 RGB [N, h, w, 3] in [0,1] — use TRAINING-clip crops
+    (seeds 100+); the held-out eval seeds (900+) must not leak into
+    calibration. Returns {"block{i}/conv1": amax, ..., "trunk": amax,
+    "tail": amax}."""
+    p = params["params"] if "params" in params else params
+
+    def conv_f(x, leaf):
+        return jax.lax.conv_general_dilated(
+            x, jnp.asarray(np.asarray(leaf["kernel"], np.float32)),
+            (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + jnp.asarray(np.asarray(leaf["bias"], np.float32))
+
+    st = model.stride
+    x = jnp.asarray(lr_batch, jnp.float32)
+    n, h, w, c = x.shape
+    s2d = x.reshape(n, h // st, st, w // st, st, c)
+    s2d = s2d.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // st, w // st, st * st * c)
+    feat = conv_f(s2d, p["head"])
+    scales: dict = {}
+    hdn = feat
+    i = 0
+    while f"block{i}" in p:
+        scales[f"block{i}/conv1"] = float(jnp.max(jnp.abs(hdn)))
+        t1 = jax.nn.relu(conv_f(hdn, p[f"block{i}"]["conv1"]))
+        scales[f"block{i}/conv2"] = float(jnp.max(jnp.abs(t1)))
+        hdn = hdn + 0.2 * conv_f(t1, p[f"block{i}"]["conv2"])
+        i += 1
+    scales["trunk"] = float(jnp.max(jnp.abs(hdn)))
+    hdn = conv_f(hdn, p["trunk"]) + feat
+    scales["tail"] = float(jnp.max(jnp.abs(hdn)))
+    return scales
+
+
+def default_trunk_scales(model, params, n_clips: int = 4) -> dict:
+    """Calibrate on training-clip crops through the production video path
+    (seeds 100.., disjoint from the 900+ eval seeds)."""
+    from nu_scaler_tpu.models.data import clip_through_video_path, render_clip
+
+    crops = []
+    rng = np.random.default_rng(7)
+    sc = model.upscale  # LR = HR / upscale, matching the serving input domain
+    # clips are 288×512: cap the crop so HR fits, LR stays stride-divisible
+    lr_c = min(96, 288 // sc // model.stride * model.stride)
+    hr_c = lr_c * sc
+    for seed in range(100, 100 + n_clips):
+        frames = clip_through_video_path(render_clip(seed=seed, frames=2))
+        for f in frames:
+            y = rng.integers(0, f.shape[0] - hr_c + 1)
+            x = rng.integers(0, f.shape[1] - hr_c + 1)
+            hr = f[y : y + hr_c, x : x + hr_c, :3].astype(np.float32) / 255.0
+            v = hr.reshape(lr_c, sc, lr_c, sc, 3).mean(axis=(1, 3))
+            crops.append(v)
+    return calibrate_trunk_scales(model, params, np.stack(crops))
+
+
+def make_quant_apply(model, params, scales: dict):
+    """Float-domain forward with the int8 trunk — the eval twin of the
+    quantized serving graph (same integer weight grid, same activation
+    scales), for `eval_vs_lanczos3` quality gating.
+
+    f32 RGB [N, h, w, 3] in [0,1] → [N, uh, uw, 3]."""
+    p = params["params"] if "params" in params else params
+    st, up = model.stride, model.upscale
+    head_k = jnp.asarray(np.asarray(p["head"]["kernel"], np.float32))
+    head_b = jnp.asarray(np.asarray(p["head"]["bias"], np.float32))
+    qblocks = []
+    i = 0
+    while f"block{i}" in p:
+        blk = p[f"block{i}"]
+        qblocks.append(
+            tuple(
+                (_quant_kernel_i8(np.asarray(blk[c]["kernel"], np.float32))
+                 + (jnp.asarray(np.asarray(blk[c]["bias"], np.float32)),
+                    scales[f"block{i}/{c}"]))
+                for c in ("conv1", "conv2")
+            )
+        )
+        i += 1
+    trunk_kq, trunk_dq = _quant_kernel_i8(np.asarray(p["trunk"]["kernel"], np.float32))
+    trunk_b = jnp.asarray(np.asarray(p["trunk"]["bias"], np.float32))
+    tail_kq, tail_dq = _quant_kernel_i8(np.asarray(p["tail"]["kernel"], np.float32))
+    tail_b = jnp.asarray(np.asarray(p["tail"]["bias"], np.float32))
+    qblocks = [
+        tuple((jnp.asarray(kq), jnp.asarray(dq), b, ax) for kq, dq, b, ax in blk)
+        for blk in qblocks
+    ]
+    trunk_kq, trunk_dq = jnp.asarray(trunk_kq), jnp.asarray(trunk_dq)
+    tail_kq, tail_dq = jnp.asarray(tail_kq), jnp.asarray(tail_dq)
+
+    @jax.jit
+    def fn(x):
+        n, h, w, c = x.shape
+        r = st * up
+        s2d = x.reshape(n, h // st, st, w // st, st, c)
+        s2d = s2d.transpose(0, 1, 3, 2, 4, 5).reshape(
+            n, h // st, w // st, st * st * c
+        )
+        feat = (
+            jax.lax.conv_general_dilated(
+                s2d, head_k, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            + head_b
+        )
+        hdn = feat
+        for (kq1, dq1, b1, ax1), (kq2, dq2, b2, ax2) in qblocks:
+            t1 = jax.nn.relu(_conv_i8(hdn, kq1, dq1, b1, ax1))
+            hdn = hdn + 0.2 * _conv_i8(t1, kq2, dq2, b2, ax2)
+        hdn = _conv_i8(hdn, trunk_kq, trunk_dq, trunk_b, scales["trunk"]) + feat
+        tail = _conv_i8(hdn, tail_kq, tail_dq, tail_b, scales["tail"])
+        base_k = jnp.asarray(_bilinear_base_kernel(c, up, st), x.dtype)
+        s2d_pad = jnp.pad(s2d, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+        base = jax.lax.conv_general_dilated(
+            s2d_pad, base_k, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        phases = tail + base
+        nh, nw = h // st, w // st
+        out = phases.reshape(n, nh, nw, r, r, 3)
+        return out.transpose(0, 1, 3, 2, 4, 5).reshape(n, nh * r, nw * r, 3)
+
+    return fn
+
+
+def make_serving_fn_fused(model, params, in_h, in_w, dtype=jnp.bfloat16,
+                          quant_scales: dict | None = None):
     """The production serving graph for exact-ratio ESRGANLiteTPU upscaling —
     the round-3 serving-graph surgery (VERDICT r2 next #1). u8 RGBA [H,W,4]
     → u8 RGBA [uH,uW,4], same trunk math as `model.apply`, restructured so
@@ -643,6 +835,12 @@ def make_serving_fn_fused(model, params, in_h, in_w, dtype=jnp.bfloat16):
     4.py): 6.8 ms (old graph) → ~3.8-4.2 ms. Alpha semantics: bilinear
     phase resample (the old path used nearest) — identical for the α≡255
     frames the capture path produces.
+
+    quant_scales: calibrated activation maxima (`default_trunk_scales`) —
+    runs the residual blocks + trunk + tail convs on the int8 MXU path
+    (1.53× bf16 conv throughput measured, int8_conv_probe.py); head, fixed
+    base, s2d and d2s stay bf16. The float-domain twin for quality eval is
+    `make_quant_apply` (same integer weight grid and scales).
     """
     st = model.stride
     up = model.upscale
@@ -677,14 +875,38 @@ def make_serving_fn_fused(model, params, in_h, in_w, dtype=jnp.bfloat16):
     i = 0
     while f"block{i}" in p:
         blk = p[f"block{i}"]
-        blocks.append(
-            tuple(
-                (jnp.asarray(np.asarray(blk[c]["kernel"], np.float32)),
-                 jnp.asarray(np.asarray(blk[c]["bias"], np.float32)))
-                for c in ("conv1", "conv2")
+        if quant_scales is not None:
+            blocks.append(
+                tuple(
+                    _quant_kernel_i8(np.asarray(blk[c]["kernel"], np.float32))
+                    + (jnp.asarray(np.asarray(blk[c]["bias"], np.float32)),
+                       quant_scales[f"block{i}/{c}"])
+                    for c in ("conv1", "conv2")
+                )
             )
-        )
+        else:
+            blocks.append(
+                tuple(
+                    (jnp.asarray(np.asarray(blk[c]["kernel"], np.float32)),
+                     jnp.asarray(np.asarray(blk[c]["bias"], np.float32)))
+                    for c in ("conv1", "conv2")
+                )
+            )
         i += 1
+    if quant_scales is not None:
+        blocks = [
+            tuple((jnp.asarray(kq), jnp.asarray(dq), b, ax) for kq, dq, b, ax in blk)
+            for blk in blocks
+        ]
+        trunk_kq, trunk_dq = _quant_kernel_i8(
+            np.asarray(p["trunk"]["kernel"], np.float32)
+        )
+        trunk_kq, trunk_dq = jnp.asarray(trunk_kq), jnp.asarray(trunk_dq)
+        # quantize the EXPANDED tail kernel (×255, RGBA-interleaved): per-
+        # channel scales absorb the 255, so the integer grid matches the
+        # unexpanded kernel's; alpha outputs are all-zero → kq=0
+        tail_kq, tail_dq = _quant_kernel_i8(tk)
+        tail_kq, tail_dq = jnp.asarray(tail_kq), jnp.asarray(tail_dq)
     trunk_k = jnp.asarray(np.asarray(p["trunk"]["kernel"], np.float32))
     trunk_b = jnp.asarray(np.asarray(p["trunk"]["bias"], np.float32))
     sels = _row_phase_selectors(in_h, st)
@@ -727,11 +949,19 @@ def make_serving_fn_fused(model, params, in_h, in_w, dtype=jnp.bfloat16):
         )
         feat = conv(s2d_head, head_k, head_b)
         h = feat
-        for (k1, b1), (k2, b2) in blocks:
-            t1 = jax.nn.relu(conv(h, k1, b1))
-            h = h + jnp.asarray(0.2, h.dtype) * conv(t1, k2, b2)
-        h = conv(h, trunk_k, trunk_b) + feat
-        tail = conv(h, tail_k, tail_b)
+        if quant_scales is not None:
+            for (kq1, dq1, b1, ax1), (kq2, dq2, b2, ax2) in blocks:
+                t1 = jax.nn.relu(_conv_i8(h, kq1, dq1, b1, ax1))
+                h = h + jnp.asarray(0.2, h.dtype) * _conv_i8(t1, kq2, dq2, b2, ax2)
+            h = _conv_i8(h, trunk_kq, trunk_dq, trunk_b,
+                         quant_scales["trunk"]) + feat
+            tail = _conv_i8(h, tail_kq, tail_dq, tail_b, quant_scales["tail"])
+        else:
+            for (k1, b1), (k2, b2) in blocks:
+                t1 = jax.nn.relu(conv(h, k1, b1))
+                h = h + jnp.asarray(0.2, h.dtype) * conv(t1, k2, b2)
+            h = conv(h, trunk_k, trunk_b) + feat
+            tail = conv(h, tail_k, tail_b)
         if sparse:
             base = jnp.einsum("nhwi,io->nhwo", s2d, center_j)
             for oy, ox, a_m, b_m in terms_j:
@@ -757,12 +987,14 @@ def make_serving_fn_fused(model, params, in_h, in_w, dtype=jnp.bfloat16):
     return jax.jit(fn)
 
 
-def make_serving_fn(model, params, in_h, in_w, out_h, out_w, dtype=jnp.bfloat16):
+def make_serving_fn(model, params, in_h, in_w, out_h, out_w, dtype=jnp.bfloat16,
+                    quant_scales: dict | None = None):
     """Build the jitted u8 RGBA → u8 RGBA serving function for any
     ESRGANLite/ESRGANLiteTPU instance (used by `make_pretrained_upscaler`
-    and by tools/esrgan_arch_sweep.py to time candidate architectures)."""
-    params = jax.tree_util.tree_map(lambda p: p.astype(dtype), params)
+    and by tools/esrgan_arch_sweep.py to time candidate architectures).
 
+    quant_scales routes the exact-ratio fused graph through the int8 trunk
+    (`make_serving_fn_fused`); the non-fused fallback paths ignore it."""
     u = getattr(model, "upscale", None) or 2 ** getattr(model, "stages", 1)
     exact = isinstance(model, ESRGANLiteTPU) and (out_h, out_w) == (in_h * u, in_w * u)
 
@@ -773,8 +1005,14 @@ def make_serving_fn(model, params, in_h, in_w, out_h, out_w, dtype=jnp.bfloat16)
         and in_w % model.stride == 0
     ):
         # the fused raw-domain serving graph (select-matmul s2d, expanded
-        # RGBA-interleaved tail+base) — 6.8 → ~4 ms/frame at 1080p→4K
-        return make_serving_fn_fused(model, params, in_h, in_w, dtype)
+        # RGBA-interleaved tail+base) — 6.8 → ~4 ms/frame at 1080p→4K.
+        # Params stay f32 here: the fused builder derives its own bf16/int8
+        # constants, and quantizing UNROUNDED weights keeps the int8 grid
+        # identical to the eval twin's (make_quant_apply).
+        return make_serving_fn_fused(
+            model, params, in_h, in_w, dtype, quant_scales=quant_scales
+        )
+    params = jax.tree_util.tree_map(lambda p: p.astype(dtype), params)
 
     if exact:
         st = model.stride

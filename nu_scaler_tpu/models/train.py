@@ -61,6 +61,38 @@ def load_checkpoint(stages: int, arch: str = "lite"):
     return params, step
 
 
+def save_act_scales(scales: dict, stages: int, step: int, arch: str) -> str:
+    """Persist int8 calibration (per-conv-input activation maxima,
+    `esrgan_lite.default_trunk_scales`) next to the checkpoint it was
+    calibrated against, so serving can load the int8 trunk without
+    re-rendering calibration clips."""
+    import json
+
+    path = os.path.join(os.path.abspath(ckpt_dir(stages, arch)), "act_scales.json")
+    with open(path, "w") as f:
+        json.dump({"step": step, "scales": scales}, f, indent=1)
+    return path
+
+
+def load_act_scales(stages: int, arch: str, step: int | None = None):
+    """int8 activation scales for the checkpoint, or None when absent or
+    calibrated against a different step than the one being served."""
+    import json
+
+    path = os.path.join(os.path.abspath(ckpt_dir(stages, arch)), "act_scales.json")
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            blob = json.load(f)
+    except Exception:  # noqa: BLE001 — unreadable file = no quantization
+        return None
+    if step is not None and blob.get("step") != step:
+        return None
+    scales = blob.get("scales")
+    return scales if isinstance(scales, dict) and scales else None
+
+
 def save_opt_state(opt_state, stages: int, step: int, arch: str = "lite") -> None:
     """Optimizer moments alongside the params (resume keeps Adam state)."""
     import orbax.checkpoint as ocp
@@ -365,13 +397,27 @@ if __name__ == "__main__":
     p.add_argument("--distill-w", type=float, default=0.5)
     p.add_argument("--eval", action="store_true", help="evaluate the latest "
                    "checkpoint vs lanczos3 on held-out clips and exit")
+    p.add_argument("--calibrate", action="store_true", help="calibrate int8 "
+                   "activation scales for the latest checkpoint (training "
+                   "clips only) and save act_scales.json next to it")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend "
                    "(the site config pins JAX_PLATFORMS=axon; env vars alone "
                    "don't override it)")
     args = p.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    if args.eval:
+    if args.calibrate:
+        model, _ = make_model(args.arch, args.stages)
+        restored = load_checkpoint(args.stages, args.arch)
+        if restored is None:
+            raise SystemExit(f"no checkpoint for {args.arch}")
+        params, step = restored
+        scales = el.default_trunk_scales(model, params)
+        path = save_act_scales(scales, args.stages, step, args.arch)
+        print(f"{args.arch}@{step} int8 scales → {path}")
+        for k, v in scales.items():
+            print(f"  {k}: {v:.4f}")
+    elif args.eval:
         evaluate(args.stages, args.arch)
     else:
         train(args.steps, args.batch, args.stages, args.lr, arch=args.arch,

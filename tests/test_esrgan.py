@@ -314,3 +314,91 @@ def test_fused_serving_is_dispatched_for_exact_ratios(rng):
         assert out.shape == (32, 64, 4) and seen
     finally:
         el.make_serving_fn_fused = saved
+
+
+def test_int8_quant_apply_tracks_f32(rng):
+    """The int8 trunk (make_quant_apply — per-O-channel weight grid +
+    calibrated activation scales) must track the f32 forward closely on
+    in-calibration-range inputs: the global bilinear skip carries the
+    signal, so quantization noise only rides the learned residual."""
+    import jax
+    import jax.numpy as jnp
+
+    model = el.ESRGANLiteTPU(upscale=2, stride=4, features=32, blocks=2)
+    params = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3), jnp.float32))
+    lr = rng.random((2, 32, 32, 3)).astype(np.float32)
+    scales = el.calibrate_trunk_scales(model, params, lr)
+    assert set(scales) == {
+        "block0/conv1", "block0/conv2", "block1/conv1", "block1/conv2",
+        "trunk", "tail",
+    }
+    assert all(v > 0 for v in scales.values())
+    ref = np.asarray(model.apply(params, jnp.asarray(lr)))
+    out = np.asarray(el.make_quant_apply(model, params, scales)(jnp.asarray(lr)))
+    assert out.shape == ref.shape
+    # random-init residuals are large relative to the skip — still ≤5% err
+    assert float(np.max(np.abs(out - ref))) < 0.05
+
+
+def test_int8_fused_serving_matches_quant_apply(rng):
+    """The int8 fused serving graph and its float-domain eval twin share one
+    integer grid: u8 outputs must agree to a couple of LSB (bf16 vs f32
+    elementwise domains are the only difference)."""
+    import jax
+    import jax.numpy as jnp
+
+    h, w = 32, 64
+    model = el.ESRGANLiteTPU(upscale=2, stride=4, features=32, blocks=2)
+    params = model.init(jax.random.PRNGKey(2), jnp.zeros((1, h, w, 3), jnp.float32))
+    img = rng.integers(0, 256, (h, w, 4), np.uint8)
+    img[..., 3] = 255
+    lr = img[None, ..., :3].astype(np.float32) / 255.0
+    scales = el.calibrate_trunk_scales(model, params, lr)
+
+    served = np.asarray(
+        el.make_serving_fn_fused(model, params, h, w, quant_scales=scales)(
+            jnp.asarray(img)
+        )
+    )
+    twin = np.asarray(el.make_quant_apply(model, params, scales)(jnp.asarray(lr)))[0]
+    twin_u8 = np.clip(np.round(twin * 255.0), 0, 255).astype(np.uint8)
+    d = served[..., :3].astype(int) - twin_u8.astype(int)
+    assert served.shape == (2 * h, 2 * w, 4)
+    # random-init residuals + bf16(raw) vs f32([0,1]) domains: ~1 LSB mean
+    assert float(np.abs(d).mean()) < 1.5, np.abs(d).mean()
+    psnr = 10 * np.log10(255.0**2 / max(float(np.mean(d.astype(float) ** 2)), 1e-12))
+    assert psnr >= 42.0, psnr
+    np.testing.assert_array_equal(served[..., 3], 255)
+
+
+def test_quality_ladder_serves_int8_when_calibrated(monkeypatch):
+    """With a matching act_scales.json the quality ladder head is the
+    quant-gated tpu4-int8 entry (260 fps ≥ the 240 gate at +5.66 dB
+    held-out); without calibration the bf16 fallback order applies and the
+    "quant"-mode entry is skipped. "ultra" never quantizes (fidelity peak)."""
+    import os
+    import pytest
+
+    from nu_scaler_tpu.models import train as T
+
+    if T.load_act_scales(1, "tpu4") is None:
+        pytest.skip("no tpu4 int8 calibration")
+
+    q = el._build_pretrained(32, 64, 64, 128, jnp.bfloat16, 1, "quality")
+    assert q.arch == "tpu4" and q.quantized
+
+    u = el._build_pretrained(32, 64, 64, 128, jnp.bfloat16, 1, "ultra")
+    assert not u.quantized
+
+    # calibration absent → the quant-gated tpu4 head must be skipped
+    monkeypatch.setattr(T, "load_act_scales", lambda *a, **k: None)
+    import nu_scaler_tpu.models.esrgan_lite as el_mod
+    q2 = el_mod._build_pretrained(32, 64, 64, 128, jnp.bfloat16, 1, "quality")
+    assert q2.arch != "tpu4" or not q2.quantized
+    assert not q2.quantized
+
+    # contract: quantized serving still emits u8 RGBA at the right shape
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.integers(0, 256, (32, 64, 4), np.uint8))
+    out = np.asarray(q(img))
+    assert out.shape == (64, 128, 4) and out.dtype == np.uint8
