@@ -116,6 +116,12 @@ def main(argv=None) -> int:
     tu.add_argument("rest", nargs=argparse.REMAINDER)
     tu.set_defaults(fn=lambda a: __import__("nu_scaler.tui", fromlist=["main"]).main(a.rest))
 
+    tr = sub.add_parser("transcode",
+                        help="batch Y4M→Y4M upscale / frame-rate multiply")
+    tr.add_argument("rest", nargs=argparse.REMAINDER)
+    tr.set_defaults(fn=lambda a: __import__(
+        "nu_scaler.transcode", fromlist=["main"]).main(a.rest))
+
     args = p.parse_args(argv)
     if getattr(args, "cpu", False):
         import jax
