@@ -477,9 +477,10 @@ def main() -> None:
 
             spf = timed_loop(fbody, jax.device_put(make_input()), max(iters // 4, 3), overhead)
             extras["esrgan_fast_fps"] = round(1.0 / spf, 1)
+            _fa = ffn.arch + ("-int8" if getattr(ffn, "quantized", False) else "")
             log(
                 f"upscale[esrgan-pf] 1080p→4K {extras['esrgan_fast_fps']:9.1f} fps "
-                f"(performance learned tier, {ffn.arch})"
+                f"(performance learned tier, {_fa})"
             )
     except Exception as e:  # noqa: BLE001
         log(f"esrgan fast bench failed: {e}")

@@ -662,22 +662,39 @@ def _quant_kernel_i8(k: np.ndarray):
     return kq, s
 
 
-def _conv_i8(x, kq, dq, b, ax):
+def _quant_kernel_i8_dc(k: np.ndarray):
+    """Like `_quant_kernel_i8` but DC-exact: the per-channel dequant scale is
+    renormalized so the quantized taps sum to the original tap sum. For the
+    parameter-free bilinear base (non-negative taps summing to 1 per output
+    phase) this makes flat fields — including the α≡255 plane that rides the
+    base — reproduce EXACTLY through the int8 path."""
+    kq, s = _quant_kernel_i8(k)
+    qsum = kq.astype(np.float64).sum(axis=(0, 1, 2))
+    osum = k.astype(np.float64).sum(axis=(0, 1, 2))
+    s = np.where(qsum != 0, osum / np.where(qsum == 0, 1, qsum), s).astype(
+        np.float32
+    )
+    return kq, s
+
+
+def _conv_i8(x, kq, dq, b, ax, pad="SAME"):
     """int8 MXU conv with float-domain interface: quantize x by the
     calibrated activation scale `ax`, convolve int8×int8→int32 (the v5e MXU
     int8 path — measured 1.53× bf16 conv throughput at the trunk shape,
     tools/experiments/int8_conv_probe.py), dequantize per output channel.
 
-    The quantize / dequantize chains are elementwise and fuse around the
-    conv; intermediates stay in registers (f32 math costs nothing extra
-    inside the fusion, and keeps round() on an exact grid)."""
+    Quantization is symmetric (zero → 0), so SAME zero padding keeps its
+    semantics through the int8 path. The quantize / dequantize chains are
+    elementwise and fuse around the conv; intermediates stay in registers
+    (f32 math costs nothing extra inside the fusion, and keeps round() on
+    an exact grid)."""
     inv = jnp.float32(127.0 / ax)
     xq = (
         jnp.clip(jnp.round(x.astype(jnp.float32) * inv), -127, 127)
         .astype(jnp.int8)
     )
     y = jax.lax.conv_general_dilated(
-        xq, kq, (1, 1), "SAME",
+        xq, kq, (1, 1), pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32,
     )
@@ -780,6 +797,16 @@ def make_quant_apply(model, params, scales: dict):
     ]
     trunk_kq, trunk_dq = jnp.asarray(trunk_kq), jnp.asarray(trunk_dq)
     tail_kq, tail_dq = jnp.asarray(tail_kq), jnp.asarray(tail_dq)
+    if "head" in scales:
+        hkq, hdq = _quant_kernel_i8(np.asarray(p["head"]["kernel"], np.float32))
+        hkq, hdq = jnp.asarray(hkq), jnp.asarray(hdq)
+    if "base" in scales:
+        # RGB (c=3) base kernel — eval inputs are RGB; the serving graph's
+        # RGBA-expanded base shares the same per-RGB-output-channel grid
+        bkq, bdq = _quant_kernel_i8_dc(
+            _bilinear_base_kernel(3, up, st).astype(np.float32)
+        )
+        bkq, bdq = jnp.asarray(bkq), jnp.asarray(bdq)
 
     @jax.jit
     def fn(x):
@@ -789,25 +816,31 @@ def make_quant_apply(model, params, scales: dict):
         s2d = s2d.transpose(0, 1, 3, 2, 4, 5).reshape(
             n, h // st, w // st, st * st * c
         )
-        feat = (
-            jax.lax.conv_general_dilated(
-                s2d, head_k, (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        if "head" in scales:
+            feat = _conv_i8(s2d, hkq, hdq, head_b, scales["head"])
+        else:
+            feat = (
+                jax.lax.conv_general_dilated(
+                    s2d, head_k, (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                + head_b
             )
-            + head_b
-        )
         hdn = feat
         for (kq1, dq1, b1, ax1), (kq2, dq2, b2, ax2) in qblocks:
             t1 = jax.nn.relu(_conv_i8(hdn, kq1, dq1, b1, ax1))
             hdn = hdn + 0.2 * _conv_i8(t1, kq2, dq2, b2, ax2)
         hdn = _conv_i8(hdn, trunk_kq, trunk_dq, trunk_b, scales["trunk"]) + feat
         tail = _conv_i8(hdn, tail_kq, tail_dq, tail_b, scales["tail"])
-        base_k = jnp.asarray(_bilinear_base_kernel(c, up, st), x.dtype)
         s2d_pad = jnp.pad(s2d, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
-        base = jax.lax.conv_general_dilated(
-            s2d_pad, base_k, (1, 1), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        if "base" in scales:
+            base = _conv_i8(s2d_pad, bkq, bdq, None, scales["base"], pad="VALID")
+        else:
+            base_k = jnp.asarray(_bilinear_base_kernel(c, up, st), x.dtype)
+            base = jax.lax.conv_general_dilated(
+                s2d_pad, base_k, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         phases = tail + base
         nh, nw = h // st, w // st
         out = phases.reshape(n, nh, nw, r, r, 3)
@@ -907,6 +940,19 @@ def make_serving_fn_fused(model, params, in_h, in_w, dtype=jnp.bfloat16,
         # unexpanded kernel's; alpha outputs are all-zero → kq=0
         tail_kq, tail_dq = _quant_kernel_i8(tk)
         tail_kq, tail_dq = jnp.asarray(tail_kq), jnp.asarray(tail_dq)
+        # OPTIONAL head/base int8 ("head"/"base" scale entries, normalized-
+        # domain input maxima — 1.0 for u8 frames): the inputs are exact
+        # 0..255 integers, so the input grid is a fixed /2 rounding (7-bit)
+        # and symmetric quantization keeps both pad semantics (head: SAME
+        # zero, base: edge-replicate) intact.
+        if "head" in quant_scales:
+            head_kq, head_dq = _quant_kernel_i8(head_k_np)
+            head_kq, head_dq = jnp.asarray(head_kq), jnp.asarray(head_dq)
+        if "base" in quant_scales and not (model.base_impl == "sparse"):
+            base_kq, base_dq = _quant_kernel_i8_dc(
+                _bilinear_base_kernel(4, up, st).astype(np.float32)
+            )
+            base_kq, base_dq = jnp.asarray(base_kq), jnp.asarray(base_dq)
     trunk_k = jnp.asarray(np.asarray(p["trunk"]["kernel"], np.float32))
     trunk_b = jnp.asarray(np.asarray(p["trunk"]["bias"], np.float32))
     sels = _row_phase_selectors(in_h, st)
@@ -947,7 +993,11 @@ def make_serving_fn_fused(model, params, in_h, in_w, dtype=jnp.bfloat16,
         s2d_head = (
             jnp.concatenate([s2d, jnp.zeros_like(s2d)], axis=-1) if pad_c else s2d
         )
-        feat = conv(s2d_head, head_k, head_b)
+        if quant_scales is not None and "head" in quant_scales:
+            feat = _conv_i8(s2d_head, head_kq, head_dq, head_b,
+                            255.0 * quant_scales["head"])
+        else:
+            feat = conv(s2d_head, head_k, head_b)
         h = feat
         if quant_scales is not None:
             for (kq1, dq1, b1, ax1), (kq2, dq2, b2, ax2) in blocks:
@@ -970,7 +1020,11 @@ def make_serving_fn_fused(model, params, in_h, in_w, dtype=jnp.bfloat16,
                 base = base + jnp.einsum("nhwk,ko->nhwo", red, b_m)
         else:
             sp = jnp.pad(s2d, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
-            base = conv(sp, base_k, pad="VALID")
+            if quant_scales is not None and "base" in quant_scales:
+                base = _conv_i8(sp, base_kq, base_dq, None,
+                                255.0 * quant_scales["base"], pad="VALID")
+            else:
+                base = conv(sp, base_k, pad="VALID")
         phases = tail + base  # [1, nh, nw, r²·4] raw-scale RGBA-interleaved
         # quantize in the compute dtype: bf16 phases carry ≤0.5 ulp at the
         # u8 range's top (ulp(bf16)=1.0 in [128,256) — values there are

@@ -402,3 +402,48 @@ def test_quality_ladder_serves_int8_when_calibrated(monkeypatch):
     img = jnp.asarray(rng.integers(0, 256, (32, 64, 4), np.uint8))
     out = np.asarray(q(img))
     assert out.shape == (64, 128, 4) and out.dtype == np.uint8
+
+
+def test_int8_io_quant_preserves_alpha_and_flat_fields(rng):
+    """Optional head/base int8 ("head"/"base" scale entries): the DC-exact
+    base dequant must reproduce flat fields — and the α≡255 plane that rides
+    the base — EXACTLY. (Measured perf negative on v5e: the underfilled
+    64-channel head/base contractions gain nothing from int8 — 3.886 vs
+    3.871 ms on tpu4, int8_io_probe.py — so production act_scales.json files
+    carry no head/base entries; the path stays a tested knob.)"""
+    import jax
+
+    h, w = 32, 64
+    model = el.ESRGANLiteTPU(upscale=2, stride=4, features=32, blocks=2)
+    params = model.init(jax.random.PRNGKey(2), jnp.zeros((1, h, w, 3), jnp.float32))
+    img = rng.integers(0, 256, (h, w, 4), np.uint8)
+    img[..., 3] = 255
+    lr = img[None, ..., :3].astype(np.float32) / 255.0
+    scales = el.calibrate_trunk_scales(model, params, lr)
+    sio = dict(scales, head=1.0, base=1.0)
+
+    served = np.asarray(
+        el.make_serving_fn_fused(model, params, h, w, quant_scales=sio)(
+            jnp.asarray(img)
+        )
+    )
+    np.testing.assert_array_equal(served[..., 3], 255)
+
+    # the twin shares the grid: u8 agreement within a couple of LSB
+    twin = np.asarray(el.make_quant_apply(model, params, sio)(jnp.asarray(lr)))[0]
+    twin_u8 = np.clip(np.round(twin * 255.0), 0, 255).astype(np.uint8)
+    d = served[..., :3].astype(int) - twin_u8.astype(int)
+    assert float(np.abs(d).mean()) < 1.5, np.abs(d).mean()
+
+    # DC-exact base: a flat frame stays flat through the quantized graph's
+    # fixed path (the learned tail adds its own response — compare against
+    # the UNQUANTIZED serving output instead of a constant)
+    flat = np.full((h, w, 4), 200, np.uint8)
+    flat[..., 3] = 255
+    ref = np.asarray(el.make_serving_fn_fused(model, params, h, w)(jnp.asarray(flat)))
+    out = np.asarray(
+        el.make_serving_fn_fused(model, params, h, w, quant_scales=sio)(
+            jnp.asarray(flat)
+        )
+    )
+    assert float(np.abs(out.astype(int) - ref.astype(int)).mean()) < 1.5
