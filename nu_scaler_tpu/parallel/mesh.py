@@ -297,16 +297,31 @@ def interpolate_frame_spatial(
     return fn(a, b, float(time_t))
 
 
-def esrgan_infer_spatial(model, params, x, mesh: Mesh | None = None, axis: str = "batch"):
+def esrgan_infer_spatial(model, params, x, mesh: Mesh | None = None, axis: str = "batch",
+                         quant_scales: dict | None = None):
     """Learned-tier inference with the FRAME sharded spatially (sp): input
     rows split over the mesh; XLA inserts the conv halo exchanges over ICI
     automatically from the sharding annotations (the jax.sharding/pjit way —
     no manual ppermute needed for 3×3 receptive fields).
 
+    quant_scales routes the trunk through the production int8 grid
+    (`esrgan_lite.make_quant_apply` — same integer weights/scales as the
+    single-chip serving graph): conv inputs quantize per shard, so the
+    halo rows XLA exchanges for the int8 convs move as int8 over ICI —
+    half the bf16 halo traffic.
+
     x: [N, H, W, 3]; H must divide by mesh_size × model.stride."""
     if mesh is None:
         mesh = make_mesh(axis=axis)
     x_shard = NamedSharding(mesh, P(None, axis, None, None))
+    if quant_scales is not None:
+        from nu_scaler_tpu.models.esrgan_lite import make_quant_apply
+
+        qfn = make_quant_apply(model, params, quant_scales)
+        fn = jax.jit(
+            lambda xx: qfn(xx), in_shardings=(x_shard,), out_shardings=x_shard
+        )
+        return fn(jax.device_put(x, x_shard))
     fn = jax.jit(
         lambda p, xx: model.apply(p, xx),
         in_shardings=(None, x_shard),

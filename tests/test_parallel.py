@@ -166,3 +166,26 @@ def test_fsr_frame_spatial_matches_single(rng):
         F.make_fsr_upscaler(16, 24, 32, 48, "quality", impl="xla")(frame)
     )
     np.testing.assert_array_equal(out, single)
+
+
+def test_esrgan_infer_spatial_int8_matches_single_device():
+    """sp inference on the int8 grid: the spatially-sharded quantized
+    forward (int8 conv halos over ICI) must match the single-device
+    quantized twin bit-near."""
+    import jax
+    import jax.numpy as jnp
+
+    from nu_scaler_tpu.models import esrgan_lite as el
+    from nu_scaler_tpu.parallel import mesh as pmesh
+
+    m = el.ESRGANLiteTPU(upscale=2, stride=2, features=8, blocks=1)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.random((1, 64, 32, 3), dtype=np.float32))
+    p = m.init(jax.random.PRNGKey(0), x)
+    scales = el.calibrate_trunk_scales(m, p, np.asarray(x))
+    mesh = pmesh.make_mesh(8)
+    out_sp = np.asarray(
+        pmesh.esrgan_infer_spatial(m, p, x, mesh, quant_scales=scales)
+    )
+    out_ref = np.asarray(el.make_quant_apply(m, p, scales)(x))
+    np.testing.assert_allclose(out_sp, out_ref, rtol=2e-5, atol=2e-5)
