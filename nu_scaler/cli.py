@@ -25,7 +25,7 @@ def _add_pipeline_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--scale", type=float, default=2.0)
     p.add_argument("--interpolate", action="store_true")
     p.add_argument("--interp-mode", default="blend",
-                   choices=["blend", "flow", "flow_soft"])
+                   choices=["blend", "flow", "flow_soft", "flow_soft_ref"])
     p.add_argument("--cpu", action="store_true", help="force the CPU backend "
                    "(the site config pins JAX_PLATFORMS=axon)")
 

@@ -21,7 +21,7 @@ def main(argv=None) -> int:
     p.add_argument("--tech", default="wgpu", choices=["wgpu", "fsr", "dlss", "fallback"])
     p.add_argument("--algorithm", default="lanczos3")
     p.add_argument("--interpolate", action="store_true")
-    p.add_argument("--interp-mode", default="blend", choices=["blend", "flow", "flow_soft"])
+    p.add_argument("--interp-mode", default="blend", choices=["blend", "flow", "flow_soft", "flow_soft_ref"])
     p.add_argument("--source", default="fullscreen")
     p.add_argument("--out-dir", default=None, help="write output frames as PNGs")
     p.add_argument("--max-saved", type=int, default=30)

@@ -138,7 +138,7 @@ def main(argv=None) -> int:
     p.add_argument("--factor", type=int, default=1,
                    help="frame-rate multiplier (N-1 MC mids per input pair)")
     p.add_argument("--interp-mode", default="flow_soft",
-                   choices=["blend", "flow", "flow_soft"])
+                   choices=["blend", "flow", "flow_soft", "flow_soft_ref"])
     p.add_argument("--limit", type=int, default=None,
                    help="stop after N input frames")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend "

@@ -40,7 +40,7 @@ QUALITIES = ["ultra", "quality", "balanced", "performance"]
 ALGORITHMS = ["nearest", "bilinear", "bicubic", "lanczos2", "lanczos3", "mitchell", "area"]
 TECHNOLOGIES = ["wgpu", "fsr", "dlss", "fallback"]
 SOURCES = ["synthetic", "fullscreen", "window", "region"]
-INTERP_MODES = ["blend", "flow", "flow_soft"]
+INTERP_MODES = ["blend", "flow", "flow_soft", "flow_soft_ref"]
 
 
 class SettingsModel:

@@ -137,7 +137,7 @@ class WgpuFrameInterpolator:
             raise ValueError(f"times must be non-empty, each in [0, 1]: {times!r}")
         arr_a = np.frombuffer(a, np.uint8).reshape(height, width, 4)
         arr_b = np.frombuffer(b, np.uint8).reshape(height, width, 4)
-        mode = self.mode if self.mode in ("blend", "flow", "flow_soft") else "flow_soft"
+        mode = self.mode if self.mode in ("blend", "flow", "flow_soft", "flow_soft_ref") else "flow_soft"
         fn = _interp.make_multi_interpolator(
             height, width, ts, mode, warp_tile=self.warp_tile
         )
@@ -226,6 +226,6 @@ def create_interpolator(kind: str = "blend", workgroup_preset: Optional[str] = N
     warp, golden-parity). Unknown kinds fall back to "blend"
     (reference-style silent default).
     """
-    if kind not in ("blend", "flow", "flow_soft", "flow_exact"):
+    if kind not in ("blend", "flow", "flow_soft", "flow_soft_ref", "flow_exact"):
         kind = "blend"
     return WgpuFrameInterpolator(workgroup_preset, mode=kind)

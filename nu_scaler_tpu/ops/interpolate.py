@@ -955,6 +955,20 @@ def make_interpolator(
         def fn(a, b, t):
             return soft_interp_fast(a, b, t, tile=warp_tile)
 
+    elif mode == "flow_soft_ref":
+        # flow_soft + the learned per-pixel refinement net
+        # (models/interp_refine.py — the occlusion-selection quality the
+        # handcrafted probes couldn't reach), inlined into the same jit
+        # graph. Falls back to plain flow_soft when no checkpoint exists
+        # or dims don't tile. Trained at t=0.5 (the 2× live path).
+        from nu_scaler_tpu.models.interp_refine import get_refine_graph
+
+        _ref = get_refine_graph(height, width) if (height % 4 == 0 and width % 4 == 0) else None
+
+        def fn(a, b, t, _ref=_ref):
+            mid = soft_interp_fast(a, b, t, tile=warp_tile)
+            return mid if _ref is None else _ref(a, b, mid)
+
     elif mode == "flow":
         # production: gather-free block-MC pipeline (hard per-tile select)
         def fn(a, b, t):
@@ -997,6 +1011,19 @@ def make_multi_interpolator(
 
         def fn(a, b):
             return soft_interp_multi(a, b, ts, tile=warp_tile)
+
+    elif mode == "flow_soft_ref":
+        from nu_scaler_tpu.models.interp_refine import get_refine_graph
+
+        _ref = get_refine_graph(height, width) if (height % 4 == 0 and width % 4 == 0) else None
+
+        def fn(a, b, _ref=_ref):
+            mids = soft_interp_multi(a, b, ts, tile=warp_tile)
+            if _ref is None:
+                return mids
+            return jnp.stack(
+                [_ref(a, b, mids[i]) for i in range(len(ts))], axis=0
+            )
 
     elif mode == "blend":
 

@@ -1,0 +1,132 @@
+"""Learned MC-interpolation refinement (models/interp_refine.py): model
+contract, fused-serving ≍ float-twin parity, training step, and the
+flow_soft_ref mode dispatch/fallback."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from nu_scaler_tpu.models import interp_refine as ir
+
+
+def _tiny_model():
+    return ir.make_model(features=16, blocks=1)
+
+
+def test_forward_shape():
+    model, params = _tiny_model()
+    x = jnp.zeros((2, 32, 64, 9), jnp.float32)
+    assert model.apply(params, x).shape == (2, 32, 64, 3)
+
+
+def test_training_step_reduces_loss(rng):
+    """A few steps on a fixed batch must reduce the residual L1."""
+    model, params = _tiny_model()
+    a = rng.random((4, 32, 32, 3), dtype=np.float32)
+    b = np.roll(a, 2, axis=2)
+    tgt = 0.5 * (a + b) + 0.05
+    mid = 0.5 * (a + b)
+    xb = jnp.asarray(np.concatenate([a, b, mid], axis=-1))
+    yb = jnp.asarray(tgt)
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def lf(p):
+            pred = xb[..., 6:9] + model.apply(p, xb)
+            return jnp.mean(jnp.abs(pred - yb))
+
+        lv, g = jax.value_and_grad(lf)(params)
+        up, opt_state = opt.update(g, opt_state, params)
+        return optax.apply_updates(params, up), opt_state, lv
+
+    params, opt_state, l0 = step(params, opt_state)
+    for _ in range(60):
+        params, opt_state, ll = step(params, opt_state)
+    assert float(ll) < float(l0)
+
+
+def test_fused_serving_matches_float_twin(rng, monkeypatch):
+    """The raw-domain serving graph (selector s2d, ×255 tail fold) and the
+    float apply share weights: u8 outputs agree within a couple of LSB, and
+    alpha passes through from the mid untouched."""
+    model, params = _tiny_model()
+    monkeypatch.setattr(ir, "load_checkpoint", lambda: (params, 0))
+    monkeypatch.setattr(ir, "make_model", lambda features=128, blocks=1: (model, params))
+    ir.get_refine_graph.cache_clear()
+    ir._make_refine_fn.cache_clear()
+
+    a = rng.integers(0, 256, (32, 64, 4), np.uint8)
+    a[..., 3] = 255
+    b = np.roll(a, 3, axis=1)
+    mid = ((a.astype(int) + b.astype(int)) // 2).astype(np.uint8)
+    out = np.asarray(ir.refine_mid(jnp.asarray(a), jnp.asarray(b), jnp.asarray(mid)))
+
+    af, bf, mf = (t[None, ..., :3].astype(np.float32) / 255.0 for t in (a, b, mid))
+    tw = np.asarray(ir.make_apply(params)(jnp.asarray(af), jnp.asarray(bf), jnp.asarray(mf)))[0]
+    tw8 = np.clip(np.round(tw * 255.0), 0, 255).astype(np.uint8)
+    d = out[..., :3].astype(int) - tw8.astype(int)
+    assert float(np.abs(d).mean()) < 1.0
+    np.testing.assert_array_equal(out[..., 3], 255)
+
+    ir.get_refine_graph.cache_clear()
+    ir._make_refine_fn.cache_clear()
+
+
+def test_flow_soft_ref_mode_falls_back_without_checkpoint(rng, monkeypatch):
+    """mode="flow_soft_ref" without a trained checkpoint must equal plain
+    flow_soft (graceful degradation, like every other optional tier)."""
+    from nu_scaler_tpu.ops import interpolate as I
+
+    monkeypatch.setattr(ir, "load_checkpoint", lambda: None)
+    ir.get_refine_graph.cache_clear()
+    I.make_interpolator.cache_clear()
+
+    a = jnp.asarray(rng.integers(0, 256, (16, 256, 4), np.uint8))
+    b = jnp.asarray(np.roll(np.asarray(a), 4, axis=1))
+    ref = np.asarray(I.make_interpolator(16, 256, "flow_soft")(a, b, 0.5))
+    out = np.asarray(I.make_interpolator(16, 256, "flow_soft_ref")(a, b, 0.5))
+    np.testing.assert_array_equal(out, ref)
+    I.make_interpolator.cache_clear()
+    ir.get_refine_graph.cache_clear()
+
+
+def test_flow_soft_ref_mode_applies_refinement(rng, monkeypatch):
+    """With a checkpoint present the mode must route through the net (a
+    random-init net produces a different frame than plain flow_soft)."""
+    from nu_scaler_tpu.ops import interpolate as I
+
+    model, params = _tiny_model()
+    monkeypatch.setattr(ir, "load_checkpoint", lambda: (params, 0))
+    monkeypatch.setattr(ir, "make_model", lambda features=128, blocks=1: (model, params))
+    ir.get_refine_graph.cache_clear()
+    I.make_interpolator.cache_clear()
+
+    a = jnp.asarray(rng.integers(0, 256, (16, 256, 4), np.uint8))
+    b = jnp.asarray(np.roll(np.asarray(a), 4, axis=1))
+    ref = np.asarray(I.make_interpolator(16, 256, "flow_soft")(a, b, 0.5))
+    out = np.asarray(I.make_interpolator(16, 256, "flow_soft_ref")(a, b, 0.5))
+    assert out.shape == ref.shape
+    assert not np.array_equal(out[..., :3], ref[..., :3])
+    np.testing.assert_array_equal(out[..., 3], ref[..., 3])  # alpha untouched
+
+    I.make_interpolator.cache_clear()
+    ir.get_refine_graph.cache_clear()
+
+
+def test_api_interpolator_accepts_mode(rng, monkeypatch):
+    """The PyO3-parity interpolator accepts the new mode string end-to-end."""
+    import nu_scaler_core as nsc
+
+    monkeypatch.setattr(ir, "load_checkpoint", lambda: None)
+    ir.get_refine_graph.cache_clear()
+    it = nsc.create_interpolator("flow_soft_ref")
+    a = rng.integers(0, 256, (16, 256, 4), np.uint8).tobytes()
+    b = rng.integers(0, 256, (16, 256, 4), np.uint8).tobytes()
+    out = it.interpolate_py(a, b, 256, 16, time_t=0.5)
+    assert len(out) == 16 * 256 * 4
+    # unknown kinds fall back to "blend" (reference-style silent default)
+    assert nsc.create_interpolator("nonsense").mode == "blend"

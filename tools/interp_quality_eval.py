@@ -52,11 +52,20 @@ def main() -> None:
             return I.blend_only(a, b, 0.5)
         if mode == "flow_soft":
             return I.soft_interp_fast(a, b, 0.5)
+        if mode == "flow_soft_ref":
+            return I.make_interpolator(a.shape[0], a.shape[1], "flow_soft_ref")(
+                a, b, 0.5
+            )
         base = {"flow": 0, "flow_half": 1}[mode]
         flow = I.compute_flow_fast(a, b, base_level=base)
         return I.warp_blend_fast(a, b, flow, 0.5)
 
-    scores: dict = {m: [] for m in ("blend", "flow", "flow_half", "flow_soft")}
+    modes = ["blend", "flow", "flow_half", "flow_soft"]
+    from nu_scaler_tpu.models.interp_refine import refine_available
+
+    if refine_available():
+        modes.append("flow_soft_ref")
+    scores: dict = {m: [] for m in modes}
     for seed in args.seeds:
         clip = clip_through_video_path(
             render_clip(args.height, args.width, frames=args.frames, seed=seed)
