@@ -1095,8 +1095,8 @@ def stage_timings_ms(
     # body stays live (XLA would hoist a loop-invariant computation).
     # flow_soft's production flow stage is flow_tiles_fast (half-res flow →
     # tile means), matching what soft_interp_fast actually runs.
-    fast = mode in ("flow", "flow_soft")
-    soft = mode == "flow_soft"
+    fast = mode in ("flow", "flow_soft", "flow_soft_ref")
+    soft = mode in ("flow_soft", "flow_soft_ref")
     soft_pallas = soft and height % warp_tile[0] == 0 and width % warp_tile[1] == 0 \
         and height >= 2 * warp_tile[0] and width >= 2 * warp_tile[1]
 
@@ -1127,7 +1127,12 @@ def stage_timings_ms(
             return fb, out, tl * 0.5 + out[:ty, :tx, :2].astype(jnp.float32) * 1e-6
 
         warp_ms = device_timer(warp_body, (a, b, tiles0), iters=iters) * 1000.0
-        return {"total_ms": total, "flow_ms": flow_ms, "warp_ms": warp_ms}
+        out = {"total_ms": total, "flow_ms": flow_ms, "warp_ms": warp_ms}
+        if mode == "flow_soft_ref":
+            # the learned refinement rides the same step: report its share
+            # as the step total minus the flow+warp stages (clamped ≥ 0)
+            out["refine_ms"] = max(total - flow_ms - warp_ms, 0.0)
+        return out
 
     if fast:
         def warp_fn(fa, fb, fl, t):

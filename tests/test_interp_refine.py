@@ -130,3 +130,25 @@ def test_api_interpolator_accepts_mode(rng, monkeypatch):
     assert len(out) == 16 * 256 * 4
     # unknown kinds fall back to "blend" (reference-style silent default)
     assert nsc.create_interpolator("nonsense").mode == "blend"
+
+
+def test_stage_timings_flow_soft_ref(rng, monkeypatch):
+    """stage_timings_ms("flow_soft_ref") must time the PRODUCTION stages
+    (tile-flow + soft warp, like flow_soft — the r2 bug class was timing the
+    exact path for a soft mode) and report the refinement's share."""
+    from nu_scaler_tpu.ops import interpolate as I
+
+    model, params = _tiny_model()
+    monkeypatch.setattr(ir, "load_checkpoint", lambda: (params, 0))
+    monkeypatch.setattr(ir, "make_model", lambda features=128, blocks=1: (model, params))
+    ir.get_refine_graph.cache_clear()
+    I.make_interpolator.cache_clear()
+    I.calibrated_step_ms.cache_clear()
+
+    d = I.stage_timings_ms(16, 256, "flow_soft_ref", iters=2)
+    assert set(d) == {"total_ms", "flow_ms", "warp_ms", "refine_ms"}
+    assert all(v >= 0.0 for v in d.values())
+
+    I.make_interpolator.cache_clear()
+    I.calibrated_step_ms.cache_clear()
+    ir.get_refine_graph.cache_clear()
