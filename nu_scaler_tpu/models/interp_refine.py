@@ -108,8 +108,10 @@ class TripletPool:
 
     Mids are computed by the PRODUCTION soft warp on the FULL frame (warp
     tiles are global), then cropped — so the net trains on exactly the
-    artifacts it must fix at serving time. Training seeds 100.. stay
-    disjoint from the 900+ eval seeds."""
+    artifacts it must fix at serving time. Frames render at the serving
+    resolution (1080p default) so the warp's resolution-dependent choices
+    (quarter-res flow at ≥720 rows, tile-to-frame geometry) match too.
+    Training seeds 100.. stay disjoint from the 900+ eval seeds."""
 
     def __init__(
         self,
@@ -119,6 +121,8 @@ class TripletPool:
         frames_per_clip: int = 8,
         pool_size: int = 4096,
         seed0: int = 100,
+        height: int = 1080,
+        width: int = 1920,
     ):
         from nu_scaler_tpu.models.data import clip_through_video_path, render_clip
         from nu_scaler_tpu.ops.interpolate import soft_interp_fast
@@ -127,7 +131,7 @@ class TripletPool:
         triplets = []  # (A, B, mid, target) full frames u8 RGBA
         for c in range(n_clips):
             clip = clip_through_video_path(
-                render_clip(seed=seed0 + c, frames=frames_per_clip)
+                render_clip(height, width, seed=seed0 + c, frames=frames_per_clip)
             )
             for k in range(1, len(clip) - 1):
                 a, b, tgt = clip[k - 1], clip[k + 1], clip[k]
@@ -162,6 +166,8 @@ def train(
     pool_size: int = 4096,
     log_every: int = 100,
     save: bool = True,
+    height: int = 1080,
+    width: int = 1920,
 ) -> float:
     rng = np.random.default_rng(seed)
     model, params = make_model()
@@ -175,7 +181,13 @@ def train(
     opt_state = opt.init(params)
 
     @jax.jit
-    def step_fn(params, opt_state, xb, yb):
+    def step_fn(params, opt_state, pool_x, pool_y, idx):
+        # the pool stays device-resident; per step only `idx` crosses the
+        # tunnel (the host link is ~49 MB/s — shipping the batch would cost
+        # more than the step)
+        xb = jnp.take(pool_x, idx, axis=0)
+        yb = jnp.take(pool_y, idx, axis=0)
+
         def lf(p):
             mid = xb[..., 6:9]
             pred = mid + model.apply(p, xb)
@@ -186,14 +198,19 @@ def train(
         return optax.apply_updates(params, updates), opt_state, lv
 
     print("rendering triplet pool (production soft-warp mids)...", flush=True)
-    pool = TripletPool(rng, crop=crop, n_clips=n_clips, pool_size=pool_size)
+    pool = TripletPool(
+        rng, crop=crop, n_clips=n_clips, pool_size=pool_size,
+        height=height, width=width,
+    )
+    pool_x = jax.device_put(pool.xs)
+    pool_y = jax.device_put(pool.ys)
 
     loss = float("nan")
     t0 = time.time()
     for s in range(steps):
         idx = rng.integers(0, pool.xs.shape[0], size=batch)
         params, opt_state, loss = step_fn(
-            params, opt_state, jnp.asarray(pool.xs[idx]), jnp.asarray(pool.ys[idx])
+            params, opt_state, pool_x, pool_y, jnp.asarray(idx)
         )
         if s % log_every == 0:
             print(f"step {s:5d}  loss {float(loss):.5f}  ({time.time()-t0:.1f}s)",
@@ -345,9 +362,12 @@ if __name__ == "__main__":
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--clips", type=int, default=12)
     ap.add_argument("--pool", type=int, default=4096)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     train(steps=args.steps, batch=args.batch, lr=args.lr,
-          n_clips=args.clips, pool_size=args.pool)
+          n_clips=args.clips, pool_size=args.pool,
+          height=args.height, width=args.width)
