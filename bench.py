@@ -126,6 +126,17 @@ def pipeline_body(mode: str):
     elif mode == "flow_soft":
         # production fused path: half-res flow → tile means → Pallas warp
         mid_fn = interp_ops.soft_interp_fast
+    elif mode == "flow_soft_ref":
+        # quality MC tier: soft warp + the learned refinement net inlined
+        # into the same step program (models/interp_refine.py)
+        from nu_scaler_tpu.models.interp_refine import get_refine_graph
+
+        _ref = get_refine_graph(IN_H, IN_W)
+        if _ref is None:
+            raise RuntimeError("no interp_ref4 checkpoint")
+
+        def mid_fn(a, b, t, _ref=_ref):
+            return _ref(a, b, interp_ops.soft_interp_fast(a, b, t))
     else:
         base_level = 1 if mode == "flow_half" else 0
 
@@ -190,7 +201,7 @@ def perf_interp_body():
 
 
 def bench_pipeline(mode: str, iters: int, overhead_s: float) -> dict:
-    if mode in ("blend", "flow", "flow_half", "flow_soft"):
+    if mode in ("blend", "flow", "flow_half", "flow_soft", "flow_soft_ref"):
         frame = make_input()
         prev = jax.device_put(frame)
         cur = jax.device_put(np.roll(frame, 16, axis=1))
@@ -358,6 +369,31 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         res_flow_soft = {"fps": 0.0}
         log(f"pipeline[hs-soft] failed: {e}")
+    res_soft_ref = {"fps": 0.0}
+    interp_ref_quality = {}
+    try:
+        from nu_scaler_tpu.models.interp_refine import refine_available
+
+        if refine_available():
+            res_soft_ref = bench_pipeline("flow_soft_ref", max(iters // 4, 3), overhead)
+            log(
+                f"pipeline[hs-soft-ref] {res_soft_ref['fps']:9.1f} out-fps  "
+                f"{res_soft_ref['step_ms']:.3f} ms/step (soft warp + learned refinement)"
+            )
+            from nu_scaler_tpu.models.data import eval_interp_refinement
+
+            q = eval_interp_refinement(seeds=(900, 901))
+            interp_ref_quality = {
+                "interp_ref_psnr_delta_db_vs_soft": round(q["psnr_delta_db"], 2),
+                "interp_ref_ssim_delta_vs_soft": round(q["ssim_delta"], 4),
+            }
+            log(
+                f"interp refinement held-out: {q['ref_psnr_db']:.2f} dB vs soft "
+                f"{q['soft_psnr_db']:.2f} dB (Δ {q['psnr_delta_db']:+.2f} dB, "
+                f"ΔSSIM {q['ssim_delta']:+.4f})"
+            )
+    except Exception as e:  # noqa: BLE001
+        log(f"pipeline[hs-soft-ref] failed: {e}")
     try:
         res_soft3x = bench_pipeline("soft3x", max(iters // 4, 3), overhead)
         log(f"pipeline[hs-soft3x] {res_soft3x['fps']:9.1f} out-fps  {res_soft3x['step_ms']:.3f} ms/step (3x frame gen, one motion solve)")
@@ -533,6 +569,7 @@ def main() -> None:
                 "blend_fused_3x_fps": round(res_blend3x["fps"], 1),
                 "flow_mode_fps": round(res_flow["fps"], 1),
                 "flow_soft_fps": round(res_flow_soft["fps"], 1),
+                "flow_soft_ref_fps": round(res_soft_ref["fps"], 1),
                 "flow_soft_3x_fps": round(res_soft3x["fps"], 1),
                 "flow_half_fps": round(res_flow_half["fps"], 1),
                 "perf_interp_fps": round(res_perf["fps"], 1),
@@ -540,6 +577,7 @@ def main() -> None:
                 "live_p50_step_ms": round(res_live["p50_step_ms"], 1),
                 "live_p99_step_ms": round(res_live["p99_step_ms"], 1),
                 "platform": dev.platform,
+                **interp_ref_quality,
                 **extras,
             }
         )

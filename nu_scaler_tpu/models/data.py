@@ -204,3 +204,43 @@ def eval_vs_lanczos3(
         "psnr_delta_db": float(np.mean(net_p) - np.mean(lan_p)),
         "ssim_delta": float(np.mean(net_s) - np.mean(lan_s)),
     }
+
+
+def eval_interp_refinement(
+    seeds=(900, 901), frames: int = 5, height: int = 1080, width: int = 1920
+) -> dict:
+    """Held-out mid-frame quality of the learned MC refinement vs the plain
+    production soft warp: predict each clip's odd frames from their even
+    neighbors, score PSNR/SSIM against the true middle frame, both modes.
+    Seeds 900+ are disjoint from the refinement pool's training seeds 100..
+    (interp_refine.TripletPool)."""
+    import jax.numpy as jnp
+
+    from nu_scaler_tpu.ops.interpolate import make_interpolator
+    from nu_scaler_tpu.ops.metrics import psnr, ssim
+
+    soft_fn = make_interpolator(height, width, "flow_soft")
+    ref_fn = make_interpolator(height, width, "flow_soft_ref")
+    soft_p, soft_s, ref_p, ref_s = [], [], [], []
+    for seed in seeds:
+        clip = clip_through_video_path(
+            render_clip(height, width, frames=frames, seed=seed)
+        )
+        for k in range(1, len(clip) - 1, 2):
+            a = jnp.asarray(clip[k - 1])
+            b = jnp.asarray(clip[k + 1])
+            truth = clip[k]
+            soft = np.asarray(soft_fn(a, b, 0.5))
+            ref = np.asarray(ref_fn(a, b, 0.5))
+            soft_p.append(psnr(soft, truth))
+            soft_s.append(ssim(soft, truth))
+            ref_p.append(psnr(ref, truth))
+            ref_s.append(ssim(ref, truth))
+    return {
+        "soft_psnr_db": float(np.mean(soft_p)),
+        "soft_ssim": float(np.mean(soft_s)),
+        "ref_psnr_db": float(np.mean(ref_p)),
+        "ref_ssim": float(np.mean(ref_s)),
+        "psnr_delta_db": float(np.mean(ref_p) - np.mean(soft_p)),
+        "ssim_delta": float(np.mean(ref_s) - np.mean(soft_s)),
+    }

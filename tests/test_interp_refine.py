@@ -132,6 +132,24 @@ def test_api_interpolator_accepts_mode(rng, monkeypatch):
     assert nsc.create_interpolator("nonsense").mode == "blend"
 
 
+def test_eval_interp_refinement_helper(rng, monkeypatch):
+    """The held-out eval helper (bench.py's quality line) scores both modes
+    on the same clips; without a checkpoint the delta is exactly zero."""
+    from nu_scaler_tpu.models.data import eval_interp_refinement
+    from nu_scaler_tpu.ops import interpolate as I
+
+    monkeypatch.setattr(ir, "load_checkpoint", lambda: None)
+    ir.get_refine_graph.cache_clear()
+    I.make_interpolator.cache_clear()
+
+    q = eval_interp_refinement(seeds=(900,), frames=3, height=64, width=128)
+    assert q["psnr_delta_db"] == 0.0 and q["ssim_delta"] == 0.0
+    assert q["soft_psnr_db"] > 10.0
+
+    I.make_interpolator.cache_clear()
+    ir.get_refine_graph.cache_clear()
+
+
 def test_stage_timings_flow_soft_ref(rng, monkeypatch):
     """stage_timings_ms("flow_soft_ref") must time the PRODUCTION stages
     (tile-flow + soft warp, like flow_soft — the r2 bug class was timing the
