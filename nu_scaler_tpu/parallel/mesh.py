@@ -256,6 +256,34 @@ def _spatial_interp_fn(mesh_key, mode: str, levels: int, axis: str):
     mesh = mesh_key
     sh = NamedSharding(mesh, P(axis, None, None))
 
+    refine = None
+    if mode == "flow_soft_ref":
+        # sp refinement rides the FLOAT-domain module forward, not the
+        # raw-domain selector-matmul graph: the one-hot row-phase selector
+        # einsum contracts over the full H axis, which under row sharding
+        # would force an all-gather; the module's s2d reshape is local per
+        # shard (H_shard must divide the stride) and XLA inserts the conv
+        # halo exchanges over ICI — same design as `esrgan_infer_spatial`.
+        from nu_scaler_tpu.models import interp_refine as _ir
+
+        restored = _ir.load_checkpoint()
+        if restored is None:
+            raise ValueError("flow_soft_ref needs a trained interp_ref4 checkpoint")
+        _params = restored[0]
+        _model, _ = _ir.make_model()
+
+        def refine(a, b, mid):
+            triple = jnp.concatenate(
+                [a[..., :3], b[..., :3], mid[..., :3]], axis=-1
+            ).astype(jnp.bfloat16) / jnp.asarray(255.0, jnp.bfloat16)
+            res = _model.apply(_params, triple[None])[0]
+            rgb = jnp.clip(
+                jnp.round(mid[..., :3].astype(jnp.float32) + res.astype(jnp.float32) * 255.0),
+                0,
+                255,
+            ).astype(jnp.uint8)
+            return jnp.concatenate([rgb, mid[..., 3:]], axis=-1)
+
     def fn(a, b, t):
         if mode == "blend":
             return _interp.blend_only(a, b, t)
@@ -263,9 +291,14 @@ def _spatial_interp_fn(mesh_key, mode: str, levels: int, axis: str):
         # pallas_ok=False: a pallas_call is opaque to the SPMD partitioner —
         # it would force a full gather and defeat the row sharding; the XLA
         # soft path partitions cleanly (halos from the sharding annotations)
-        return _interp.warp_blend_fast(
-            a, b, flow, t, overlap=mode == "flow_soft", pallas_ok=False
+        mid = _interp.warp_blend_fast(
+            a, b, flow, t,
+            overlap=mode in ("flow_soft", "flow_soft_ref"),
+            pallas_ok=False,
         )
+        if refine is not None:
+            mid = refine(a, b, mid)
+        return mid
 
     return jax.jit(fn, in_shardings=(sh, sh, None), out_shardings=sh)
 
@@ -286,7 +319,9 @@ def interpolate_frame_spatial(
     the halo exchanges over ICI for the pyramid / Horn–Schunck stencils and
     the warp's candidate slabs — no manual ppermute.
 
-    frame_a/frame_b: u8 [H, W, 4]. mode: "blend" | "flow" | "flow_soft".
+    frame_a/frame_b: u8 [H, W, 4]. mode: "blend" | "flow" | "flow_soft" |
+    "flow_soft_ref" (soft warp + the learned refinement net; needs a trained
+    interp_ref4 checkpoint and H/mesh_size divisible by the net's stride).
     """
     if mesh is None:
         mesh = make_mesh(axis=axis)

@@ -116,6 +116,51 @@ def test_interpolate_frame_spatial_matches_single(rng):
         np.testing.assert_allclose(out.astype(int), ref.astype(int), atol=2)
 
 
+def test_interpolate_frame_spatial_refined_matches_single(rng):
+    """sp flow_soft_ref: soft warp + the learned refinement net in ONE
+    sharded program (float-domain module forward — the selector-matmul
+    serving graph would force an all-gather under row sharding). Must match
+    the same math run single-device."""
+    from nu_scaler_tpu.models import interp_refine as ir
+    from nu_scaler_tpu.ops import interpolate as I
+    import jax.numpy as jnp
+
+    if not ir.refine_available():
+        pytest.skip("no interp_ref4 checkpoint")
+    m = pmesh.make_mesh()
+    a = rng.integers(0, 256, (64, 64, 4), np.uint8)
+    b = np.roll(a, 3, axis=1)
+    out = np.asarray(
+        pmesh.interpolate_frame_spatial(a, b, 0.5, "flow_soft_ref", m, levels=2)
+    )
+    assert out.shape == (64, 64, 4)
+
+    # single-device reference: same float-domain formula
+    aj, bj = jnp.asarray(a), jnp.asarray(b)
+    flow = I.compute_flow_fast(aj, bj, levels=2)
+    mid = I.warp_blend_fast(aj, bj, flow, 0.5, overlap=True)
+    params, _ = ir.load_checkpoint()
+    model, _ = ir.make_model()
+    triple = jnp.concatenate(
+        [aj[..., :3], bj[..., :3], mid[..., :3]], axis=-1
+    ).astype(jnp.bfloat16) / jnp.asarray(255.0, jnp.bfloat16)
+    res = model.apply(params, triple[None])[0]
+    rgb = np.clip(
+        np.round(
+            np.asarray(mid[..., :3], np.float32)
+            + np.asarray(res, np.float32) * 255.0
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    ref = np.concatenate([rgb, np.asarray(mid[..., 3:])], axis=-1)
+    # bf16 sums under sharding can land on the other side of round()'s
+    # knife edge for a handful of pixels — same ±2 u8 gate as the sp warp
+    np.testing.assert_allclose(out.astype(int), ref.astype(int), atol=2)
+    # and the refinement must actually change the mid (net is non-trivial)
+    assert np.any(out[..., :3] != np.asarray(mid[..., :3]))
+
+
 @pytest.mark.parametrize("algo", ["bilinear", "lanczos3"])
 def test_spatial_sharded_matches_single(rng, algo):
     m = pmesh.make_mesh()
