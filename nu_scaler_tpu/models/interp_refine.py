@@ -98,6 +98,91 @@ def make_model(features: int = 128, blocks: int = 1):
     return model, params
 
 
+def save_act_scales(scales: dict, step: int) -> str:
+    """Persist int8 activation scales next to the checkpoint (step-gated,
+    like the SR tier's train.py:save_act_scales)."""
+    import json
+
+    path = os.path.join(os.path.abspath(CKPT_DIR), "act_scales.json")
+    with open(path, "w") as f:
+        json.dump({"step": step, "scales": scales}, f, indent=1)
+    return path
+
+
+def load_act_scales(step: int | None = None):
+    """int8 activation scales for the checkpoint, or None when absent or
+    calibrated against a different step than the one being served."""
+    import json
+
+    path = os.path.join(os.path.abspath(CKPT_DIR), "act_scales.json")
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            blob = json.load(f)
+    except Exception:  # noqa: BLE001 — unreadable file = no quantization
+        return None
+    if step is not None and blob.get("step") != step:
+        return None
+    scales = blob.get("scales")
+    return scales if isinstance(scales, dict) and scales else None
+
+
+def calibrate_scales(
+    params=None,
+    crops: np.ndarray | None = None,
+    n_clips: int = 4,
+    pool_size: int = 256,
+    height: int = 1080,
+    width: int = 1920,
+    include_head: bool = True,
+) -> dict:
+    """Per-conv-input activation maxima for the int8 trunk, measured in the
+    FLOAT domain (the serving head folds 1/255, so trunk activations match).
+    Calibration crops come through the production soft warp on TRAINING
+    seeds (TripletPool, seeds 100..) — held-out eval seeds (900+) must not
+    leak in. crops: optional [N, h, w, 9] float batch to use instead."""
+    if params is None:
+        restored = load_checkpoint()
+        if restored is None:
+            raise ValueError("no interp_ref4 checkpoint")
+        params = restored[0]
+    p = params["params"] if "params" in params else params
+
+    if crops is None:
+        pool = TripletPool(
+            np.random.default_rng(7), crop=96, n_clips=n_clips,
+            pool_size=pool_size, height=height, width=width,
+        )
+        crops = pool.xs
+
+    def conv_f(x, leaf):
+        return jax.lax.conv_general_dilated(
+            x, jnp.asarray(np.asarray(leaf["kernel"], np.float32)),
+            (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + jnp.asarray(np.asarray(leaf["bias"], np.float32))
+
+    # stride from the head kernel's fan-in (st²·9 input channels)
+    st = int(round((np.asarray(p["head"]["kernel"]).shape[2] // 9) ** 0.5))
+    x = jnp.asarray(crops, jnp.float32)
+    n, h, w, c = x.shape
+    s2d = x.reshape(n, h // st, st, w // st, st, c)
+    s2d = s2d.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // st, w // st, st * st * c)
+    scales: dict = {}
+    if include_head:
+        scales["head"] = float(jnp.max(jnp.abs(s2d)))
+    hdn = conv_f(s2d, p["head"])
+    i = 0
+    while f"block{i}" in p:
+        scales[f"block{i}/conv1"] = float(jnp.max(jnp.abs(hdn)))
+        t1 = jax.nn.relu(conv_f(hdn, p[f"block{i}"]["conv1"]))
+        scales[f"block{i}/conv2"] = float(jnp.max(jnp.abs(t1)))
+        hdn = hdn + 0.2 * conv_f(t1, p[f"block{i}"]["conv2"])
+        i += 1
+    scales["tail"] = float(jnp.max(jnp.abs(hdn)))
+    return scales
+
+
 # ---------------------------------------------------------------------------
 # Data: triplet pool through the production warp
 # ---------------------------------------------------------------------------
@@ -237,7 +322,16 @@ def get_refine_graph(in_h: int, in_w: int, dtype=jnp.bfloat16):
     Raw-domain graph like `make_serving_fn_fused`: the 1/255 input
     normalization folds into the head kernel, ×255 into the tail kernel;
     s2d rides the one-hot row-phase selector matmuls; d2s is the free
-    lane-slice reshape. Alpha passes through from the mid frame."""
+    lane-slice reshape. Alpha passes through from the mid frame.
+
+    The mid-add runs in the PHASE domain: the tail kernel is RGBA-expanded
+    (alpha outputs zero) and the mid's own phase decomposition (four cheap
+    selector einsums) is added to the conv output before the u8 round, so
+    the d2s interleave moves u8 [nh, nw, st²·4] instead of f32 — and no
+    elementwise op ever touches a lane-padded [H, W, 3] f32 array (the r3
+    anatomy probe showed the f32 d2s + raw-domain residual add epilogue was
+    where most of the net's real 6.4 ms went; CLAUDE.md channel-minor
+    rule)."""
     restored = load_checkpoint()
     if restored is None:
         return None
@@ -258,22 +352,31 @@ def get_refine_graph(in_h: int, in_w: int, dtype=jnp.bfloat16):
             hk12[:, :, q * 12 + f * 4 : q * 12 + f * 4 + 3, :] = (
                 hk[:, :, q * 9 + f * 3 : q * 9 + f * 3 + 3, :] / 255.0
             )
-    head_k = jnp.asarray(hk12)
-    head_b = jnp.asarray(np.asarray(p["head"]["bias"], np.float32))
-    blocks = []
+    head_b_np = np.asarray(p["head"]["bias"], np.float32)
+    blocks_np = []
     i = 0
     while f"block{i}" in p:
         blk = p[f"block{i}"]
-        blocks.append(
+        blocks_np.append(
             tuple(
-                (jnp.asarray(np.asarray(blk[c]["kernel"], np.float32)),
-                 jnp.asarray(np.asarray(blk[c]["bias"], np.float32)))
+                (np.asarray(blk[c]["kernel"], np.float32),
+                 np.asarray(blk[c]["bias"], np.float32))
                 for c in ("conv1", "conv2")
             )
         )
         i += 1
-    tail_k = jnp.asarray(np.asarray(p["tail"]["kernel"], np.float32) * 255.0)
-    tail_b = jnp.asarray(np.asarray(p["tail"]["bias"], np.float32) * 255.0)
+    # RGBA-expand the tail: output order (row-phase, col-phase, rgb) →
+    # (row-phase, col-phase, rgba) with zero alpha rows, so adding the mid's
+    # phase decomposition reproduces alpha exactly and the d2s lane slices
+    # land on 16-channel (st·4) boundaries.
+    tk = np.asarray(p["tail"]["kernel"], np.float32) * 255.0  # [3,3,F,st²·3]
+    tb = np.asarray(p["tail"]["bias"], np.float32) * 255.0
+    tk4 = np.zeros(tk.shape[:3] + (st * st * 4,), np.float32)
+    tb4 = np.zeros((st * st * 4,), np.float32)
+    for q in range(st * st):
+        tk4[..., q * 4 : q * 4 + 3] = tk[..., q * 3 : q * 3 + 3]
+        tb4[q * 4 : q * 4 + 3] = tb[q * 3 : q * 3 + 3]
+    tail_b = jnp.asarray(tb4)
     sels = el._row_phase_selectors(in_h, st)
 
     def conv(x, k, b=None):
@@ -282,6 +385,37 @@ def get_refine_graph(in_h: int, in_w: int, dtype=jnp.bfloat16):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         return y if b is None else y + b.astype(x.dtype)
+
+    # int8 MXU trunk (auto when a calibration matching the checkpoint
+    # exists): every contraction here is lane-filled (head 192-in, blocks
+    # 128×128, tail 128-in) — the class int8_conv_probe.py measured at
+    # 1.53× bf16 on this v5e. Which convs quantize is controlled by which
+    # entries the scales file carries (like the SR tier's "head"/"base"
+    # knob). The head's activation scale is calibrated in the float domain
+    # and ×255 here because the serving head consumes raw u8 values.
+    scales = load_act_scales(_step)
+
+    def mk_conv(k_np, b_np, ax):
+        if ax is None:
+            kj = jnp.asarray(k_np)
+            bj = None if b_np is None else jnp.asarray(b_np)
+            return lambda x: conv(x, kj, bj)
+        kq, dq = el._quant_kernel_i8(k_np)
+        kqj, dqj = jnp.asarray(kq), jnp.asarray(dq)
+        bj = None if b_np is None else jnp.asarray(b_np)
+        return lambda x: el._conv_i8(x, kqj, dqj, bj, float(ax))
+
+    sget = (scales or {}).get
+    head_c = mk_conv(
+        hk12, head_b_np,
+        None if not scales or "head" not in scales else 255.0 * float(scales["head"]),
+    )
+    block_cs = [
+        (mk_conv(k1, b1, sget(f"block{i}/conv1")),
+         mk_conv(k2, b2, sget(f"block{i}/conv2")))
+        for i, ((k1, b1), (k2, b2)) in enumerate(blocks_np)
+    ]
+    tail_c = mk_conv(tk4, None, sget("tail"))
 
     def fn(a_u8, b_u8, mid_u8):
         x = jnp.concatenate([a_u8, b_u8, mid_u8], axis=-1)  # [H, W, 12] u8
@@ -294,22 +428,38 @@ def get_refine_graph(in_h: int, in_w: int, dtype=jnp.bfloat16):
             ],
             axis=-1,
         )  # [1, nh, nw, st²·12] raw-scale
-        h = conv(s2d, head_k, head_b)
-        for (k1, b1), (k2, b2) in blocks:
-            t1 = jax.nn.relu(conv(h, k1, b1))
-            h = h + jnp.asarray(0.2, h.dtype) * conv(t1, k2, b2)
-        tail = conv(h, tail_k, tail_b)[0]  # [nh, nw, st²·3] raw residual
-        # d2s + mid-add: per row-phase lane slice → free column reshape
-        res_rows = [
-            tail[..., q * st * 3 : (q + 1) * st * 3].reshape(nh, in_w, 3)
+        h = head_c(s2d)
+        for c1, c2 in block_cs:
+            t1 = jax.nn.relu(c1(h))
+            h = h + jnp.asarray(0.2, h.dtype) * c2(t1)
+        # mid's own phase decomposition (raw u8 values, bf16-exact): four
+        # selector einsums on the 2-D mid → [nh, nw, st²·4], channel order
+        # (row-phase, col-phase, rgba) — matching the RGBA-expanded tail
+        mid2d = mid_u8.reshape(in_h, in_w * 4).astype(dtype)
+        mid_ph = jnp.concatenate(
+            [
+                jnp.einsum("or,rw->ow", sels[q].astype(dtype), mid2d)
+                .reshape(nh, nw, st * 4)
+                for q in range(st)
+            ],
+            axis=-1,
+        )
+        tail = tail_c(h)[0]  # [nh, nw, st²·4] raw residual, alpha 0
+        out_ph = jnp.clip(
+            jnp.round(
+                tail.astype(jnp.float32)
+                + tail_b
+                + mid_ph.astype(jnp.float32)
+            ),
+            0,
+            255,
+        ).astype(jnp.uint8)
+        # d2s on u8: per row-phase lane slice → free column reshape
+        rows = [
+            out_ph[..., q * st * 4 : (q + 1) * st * 4].reshape(nh, in_w, 4)
             for q in range(st)
         ]
-        res = jnp.stack(res_rows, axis=1).reshape(in_h, in_w, 3)
-        rgb = jnp.clip(
-            jnp.round(mid_u8[..., :3].astype(jnp.float32) + res.astype(jnp.float32)),
-            0, 255,
-        ).astype(jnp.uint8)
-        return jnp.concatenate([rgb, mid_u8[..., 3:]], axis=-1)
+        return jnp.stack(rows, axis=1).reshape(in_h, in_w, 4)
 
     return fn
 
@@ -353,6 +503,62 @@ def make_apply(params=None):
     return fn
 
 
+def make_quant_apply(params, scales: dict):
+    """Float-domain forward with the int8 trunk — the eval twin of the
+    quantized serving graph (same integer weight grid, same activation
+    scales; the serving kernels differ only by the folded 1/255 and ×255
+    constants, which cancel in the quantization grid).
+
+    (a, b, mid) f32 RGB [N, h, w, 3] in [0,1] → refined [N, h, w, 3]."""
+    p = params["params"] if "params" in params else params
+    st = int(round((np.asarray(p["head"]["kernel"]).shape[2] // 9) ** 0.5))
+
+    def mk(leaf, ax):
+        k_np = np.asarray(leaf["kernel"], np.float32)
+        b = jnp.asarray(np.asarray(leaf["bias"], np.float32))
+        if ax is None:
+            kj = jnp.asarray(k_np)
+            return lambda x: jax.lax.conv_general_dilated(
+                x, kj, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + b
+        kq, dq = el._quant_kernel_i8(k_np)
+        kqj, dqj = jnp.asarray(kq), jnp.asarray(dq)
+        return lambda x: el._conv_i8(x, kqj, dqj, b, float(ax))
+
+    sget = scales.get
+    head_c = mk(p["head"], sget("head"))
+    block_cs = []
+    i = 0
+    while f"block{i}" in p:
+        block_cs.append(
+            (mk(p[f"block{i}"]["conv1"], sget(f"block{i}/conv1")),
+             mk(p[f"block{i}"]["conv2"], sget(f"block{i}/conv2")))
+        )
+        i += 1
+    tail_c = mk(p["tail"], sget("tail"))
+
+    @jax.jit
+    def fn(a, b, mid):
+        x = jnp.concatenate([a, b, mid], axis=-1)
+        n, h, w, c = x.shape
+        s2d = x.reshape(n, h // st, st, w // st, st, c)
+        s2d = s2d.transpose(0, 1, 3, 2, 4, 5).reshape(
+            n, h // st, w // st, st * st * c
+        )
+        hdn = head_c(s2d)
+        for c1, c2 in block_cs:
+            t1 = jax.nn.relu(c1(hdn))
+            hdn = hdn + 0.2 * c2(t1)
+        tail = tail_c(hdn)
+        nh, nw = h // st, w // st
+        out = tail.reshape(n, nh, nw, st, st, 3)
+        res = out.transpose(0, 1, 3, 2, 4, 5).reshape(n, h, w, 3)
+        return mid + res
+
+    return fn
+
+
 if __name__ == "__main__":
     import argparse
 
@@ -365,9 +571,27 @@ if __name__ == "__main__":
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--calibrate", action="store_true",
+                    help="calibrate int8 activation scales for the current "
+                         "checkpoint (training clips only) and save "
+                         "act_scales.json next to it")
+    ap.add_argument("--no-head", action="store_true",
+                    help="with --calibrate: leave the head conv in bf16")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    train(steps=args.steps, batch=args.batch, lr=args.lr,
-          n_clips=args.clips, pool_size=args.pool,
-          height=args.height, width=args.width)
+    if args.calibrate:
+        restored = load_checkpoint()
+        if restored is None:
+            raise SystemExit("no interp_ref4 checkpoint to calibrate")
+        params, step = restored
+        scales = calibrate_scales(
+            params, n_clips=args.clips, include_head=not args.no_head,
+            height=args.height, width=args.width,
+        )
+        path = save_act_scales(scales, step)
+        print(f"saved {path}: {scales}", flush=True)
+    else:
+        train(steps=args.steps, batch=args.batch, lr=args.lr,
+              n_clips=args.clips, pool_size=args.pool,
+              height=args.height, width=args.width)

@@ -76,6 +76,51 @@ def test_fused_serving_matches_float_twin(rng, monkeypatch):
     ir._make_refine_fn.cache_clear()
 
 
+def test_quant_serving_matches_quant_twin(rng, monkeypatch, tmp_path):
+    """With act_scales.json present the serving graph runs the int8 trunk;
+    it must agree with the float-domain quant twin (same integer grid) to a
+    couple of LSB, keep alpha exact, and ignore a stale-step scales file."""
+    model, params = _tiny_model()
+    monkeypatch.setattr(ir, "load_checkpoint", lambda: (params, 7))
+    monkeypatch.setattr(ir, "make_model", lambda features=128, blocks=1: (model, params))
+    monkeypatch.setattr(ir, "CKPT_DIR", str(tmp_path))
+
+    a = rng.integers(0, 256, (32, 64, 4), np.uint8)
+    a[..., 3] = 255
+    b = np.roll(a, 3, axis=1)
+    mid = ((a.astype(int) + b.astype(int)) // 2).astype(np.uint8)
+    af, bf, mf = (t[None, ..., :3].astype(np.float32) / 255.0 for t in (a, b, mid))
+
+    xs = np.concatenate([af, bf, mf], axis=-1)
+    scales = ir.calibrate_scales(params, crops=xs)
+    assert set(scales) == {"head", "block0/conv1", "block0/conv2", "tail"}
+    ir.save_act_scales(scales, step=7)
+
+    # stale-step gating
+    assert ir.load_act_scales(step=8) is None
+    assert ir.load_act_scales(step=7) == scales
+
+    ir.get_refine_graph.cache_clear()
+    ir._make_refine_fn.cache_clear()
+    out = np.asarray(ir.refine_mid(*(jnp.asarray(t) for t in (a, b, mid))))
+    np.testing.assert_array_equal(out[..., 3], 255)
+
+    tw = np.asarray(ir.make_quant_apply(params, scales)(
+        jnp.asarray(af), jnp.asarray(bf), jnp.asarray(mf)))[0]
+    tw8 = np.clip(np.round(tw * 255.0), 0, 255).astype(np.uint8)
+    d = out[..., :3].astype(int) - tw8.astype(int)
+    assert float(np.abs(d).mean()) < 1.0
+
+    # and the quant twin must sit near the float twin (int8 is a refinement
+    # of the same weights, not a different net)
+    fl = np.asarray(ir.make_apply(params)(
+        jnp.asarray(af), jnp.asarray(bf), jnp.asarray(mf)))[0]
+    assert float(np.abs(tw - fl).mean()) < 0.02
+
+    ir.get_refine_graph.cache_clear()
+    ir._make_refine_fn.cache_clear()
+
+
 def test_flow_soft_ref_mode_falls_back_without_checkpoint(rng, monkeypatch):
     """mode="flow_soft_ref" without a trained checkpoint must equal plain
     flow_soft (graceful degradation, like every other optional tier)."""
