@@ -378,6 +378,14 @@ def get_refine_graph(in_h: int, in_w: int, dtype=jnp.bfloat16):
         tb4[q * 4 : q * 4 + 3] = tb[q * 3 : q * 3 + 3]
     tail_b = jnp.asarray(tb4)
     sels = el._row_phase_selectors(in_h, st)
+    # d2s row de-interleave as ONE multi-contraction: S3[r, n, q] = 1 iff
+    # r = st·n + q, contracted against the 4-D lane-split phase tensor
+    # [nh, nw, q, st·4] over (n, q). One-hot selector × u8-integer values
+    # keeps the bf16 MXU pass bit-exact (products are 1.0×k, k ≤ 255).
+    s3_np = np.zeros((in_h, nh, st), np.float32)
+    for r in range(in_h):
+        s3_np[r, r // st, r % st] = 1.0
+    S3 = jnp.asarray(s3_np, dtype)
 
     def conv(x, k, b=None):
         y = jax.lax.conv_general_dilated(
@@ -453,13 +461,19 @@ def get_refine_graph(in_h: int, in_w: int, dtype=jnp.bfloat16):
             ),
             0,
             255,
-        ).astype(jnp.uint8)
-        # d2s on u8: per row-phase lane slice → free column reshape
-        rows = [
-            out_ph[..., q * st * 4 : (q + 1) * st * 4].reshape(nh, in_w, 4)
-            for q in range(st)
-        ]
-        return jnp.stack(rows, axis=1).reshape(in_h, in_w, 4)
+        )  # f32, integer-valued 0..255
+        # d2s: NEVER lane-slice+reshape the materialized [nh, nw, 64] conv
+        # output — 16-lane u8 granules misalign the (32, 128) tile and the
+        # relayout costs ~5 ms at 1080p (refine_bisect3/4). Instead feed
+        # the 4-D lane-split tensor straight into one dot_general that
+        # contracts (row-index, row-phase) against the one-hot S3 —
+        # 10.86 → 5.70 ms for net+d2s+upscale, bit-exact (refine_bisect4).
+        ph4 = out_ph.astype(dtype).reshape(nh, nw, st, st * 4)
+        out3 = jax.lax.dot_general(
+            S3, ph4, (((1, 2), (0, 2)), ((), ())),
+            preferred_element_type=dtype,
+        )  # [in_h, nw, st·4]
+        return out3.reshape(in_h, in_w, 4).astype(jnp.uint8)
 
     return fn
 
