@@ -127,16 +127,25 @@ def pipeline_body(mode: str):
         # production fused path: half-res flow → tile means → Pallas warp
         mid_fn = interp_ops.soft_interp_fast
     elif mode == "flow_soft_ref":
-        # quality MC tier: soft warp + the learned refinement net inlined
-        # into the same step program (models/interp_refine.py)
-        from nu_scaler_tpu.models.interp_refine import get_refine_graph
+        # quality MC tier: soft warp + the learned refinement net + the 4K
+        # resample in ONE program, with the net's output staying in the
+        # PHASE domain into the resampler's banded passes (the d2s relayout
+        # never happens — interp_ops.make_refined_mid_upscaler)
+        from nu_scaler_tpu.models.interp_refine import refine_available
 
-        _ref = get_refine_graph(IN_H, IN_W)
-        if _ref is None:
+        if not refine_available():
             raise RuntimeError("no interp_ref4 checkpoint")
+        mid_up = interp_ops.make_refined_mid_upscaler(IN_H, IN_W, OUT_H, OUT_W)
 
-        def mid_fn(a, b, t, _ref=_ref):
-            return _ref(a, b, interp_ops.soft_interp_fast(a, b, t))
+        def body(state):
+            prev, cur, acc = state
+            out_mid = mid_up(prev, cur, 0.5)
+            out_cur = up(cur)
+            nxt = out_cur[:IN_H, :IN_W, :]
+            acc = acc + jnp.sum(out_mid[:1, :8, 0].astype(jnp.float32))
+            return (cur, nxt, acc)
+
+        return body
     else:
         base_level = 1 if mode == "flow_half" else 0
 

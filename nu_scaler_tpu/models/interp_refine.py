@@ -313,11 +313,16 @@ def train(
 
 
 @functools.lru_cache(maxsize=8)
-def get_refine_graph(in_h: int, in_w: int, dtype=jnp.bfloat16):
-    """TRACEABLE u8 RGBA (a, b, mid) [H, W, 4] ×3 → refined mid u8 RGBA —
-    for inlining into a larger jit program (ops.interpolate mode
-    "flow_soft_ref" composes it after the soft warp so XLA fuses the
-    boundary). None when no trained checkpoint exists.
+def get_refine_phase_graph(in_h: int, in_w: int, dtype=jnp.bfloat16):
+    """TRACEABLE u8 RGBA (a, b, mid) [H, W, 4] ×3 → refined mid as a PHASE
+    tensor f32 [nh, nw, st²·4] (s2d channel order, integer-valued 0..255).
+
+    This is the net WITHOUT the d2s — consumers that immediately resample
+    the refined mid should feed this straight into
+    ``resample.make_phase_resampler`` so the spatial phases never leave the
+    lane dim (the d2s relayout costs ~2-5 ms at 1080p; refine_bisect3/4/5).
+    ``get_refine_graph`` composes the d2s epilogue for callers that need
+    the full-res u8 mid itself. None when no trained checkpoint exists.
 
     Raw-domain graph like `make_serving_fn_fused`: the 1/255 input
     normalization folds into the head kernel, ×255 into the tail kernel;
@@ -378,14 +383,6 @@ def get_refine_graph(in_h: int, in_w: int, dtype=jnp.bfloat16):
         tb4[q * 4 : q * 4 + 3] = tb[q * 3 : q * 3 + 3]
     tail_b = jnp.asarray(tb4)
     sels = el._row_phase_selectors(in_h, st)
-    # d2s row de-interleave as ONE multi-contraction: S3[r, n, q] = 1 iff
-    # r = st·n + q, contracted against the 4-D lane-split phase tensor
-    # [nh, nw, q, st·4] over (n, q). One-hot selector × u8-integer values
-    # keeps the bf16 MXU pass bit-exact (products are 1.0×k, k ≤ 255).
-    s3_np = np.zeros((in_h, nh, st), np.float32)
-    for r in range(in_h):
-        s3_np[r, r // st, r % st] = 1.0
-    S3 = jnp.asarray(s3_np, dtype)
 
     def conv(x, k, b=None):
         y = jax.lax.conv_general_dilated(
@@ -453,7 +450,7 @@ def get_refine_graph(in_h: int, in_w: int, dtype=jnp.bfloat16):
             axis=-1,
         )
         tail = tail_c(h)[0]  # [nh, nw, st²·4] raw residual, alpha 0
-        out_ph = jnp.clip(
+        return jnp.clip(
             jnp.round(
                 tail.astype(jnp.float32)
                 + tail_b
@@ -462,12 +459,36 @@ def get_refine_graph(in_h: int, in_w: int, dtype=jnp.bfloat16):
             0,
             255,
         )  # f32, integer-valued 0..255
-        # d2s: NEVER lane-slice+reshape the materialized [nh, nw, 64] conv
-        # output — 16-lane u8 granules misalign the (32, 128) tile and the
-        # relayout costs ~5 ms at 1080p (refine_bisect3/4). Instead feed
-        # the 4-D lane-split tensor straight into one dot_general that
-        # contracts (row-index, row-phase) against the one-hot S3 —
-        # 10.86 → 5.70 ms for net+d2s+upscale, bit-exact (refine_bisect4).
+
+    return fn
+
+
+@functools.lru_cache(maxsize=8)
+def get_refine_graph(in_h: int, in_w: int, dtype=jnp.bfloat16):
+    """TRACEABLE u8 RGBA (a, b, mid) [H, W, 4] ×3 → refined mid u8 RGBA:
+    ``get_refine_phase_graph`` + the d2s epilogue. None when no trained
+    checkpoint exists. Consumers that resample the result should use the
+    phase graph + ``make_phase_resampler`` instead (see there)."""
+    phase_fn = get_refine_phase_graph(in_h, in_w, dtype)
+    if phase_fn is None:
+        return None
+    st = InterpRefineTPU.stride
+    nh, nw = in_h // st, in_w // st
+    # d2s row de-interleave as ONE multi-contraction: S3[r, n, q] = 1 iff
+    # r = st·n + q, contracted against the 4-D lane-split phase tensor
+    # [nh, nw, q, st·4] over (n, q). NEVER lane-slice+reshape the
+    # materialized [nh, nw, 64] conv output — 16-lane u8 granules misalign
+    # the (32, 128) tile and the relayout costs ~5 ms at 1080p
+    # (refine_bisect3/4); the one-hot selector × u8-integer values keep the
+    # bf16 MXU pass bit-exact (products are 1.0×k, k ≤ 255) and took
+    # net+d2s+upscale 10.86 → 5.70 ms.
+    s3_np = np.zeros((in_h, nh, st), np.float32)
+    for r in range(in_h):
+        s3_np[r, r // st, r % st] = 1.0
+    S3 = jnp.asarray(s3_np, dtype)
+
+    def fn(a_u8, b_u8, mid_u8):
+        out_ph = phase_fn(a_u8, b_u8, mid_u8)
         ph4 = out_ph.astype(dtype).reshape(nh, nw, st, st * 4)
         out3 = jax.lax.dot_general(
             S3, ph4, (((1, 2), (0, 2)), ((), ())),

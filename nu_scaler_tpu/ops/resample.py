@@ -116,8 +116,13 @@ def _banded_axis(in_size: int, out_size: int, algorithm: str, target_tc: int = 1
     )
 
 
-def _banded_from_matrix(w: np.ndarray, target_tc: int = 128):
-    """Block-banded decomposition of an arbitrary banded [O, I] matrix."""
+def _banded_from_matrix(w: np.ndarray, target_tc: int = 128, halo_align: int = 1):
+    """Block-banded decomposition of an arbitrary banded [O, I] matrix.
+
+    halo_align > 1 rounds the halo up to that multiple (and requires the
+    stride to be a multiple of it), so the slab blocking can run along a
+    coarser unit — e.g. whole space-to-depth cells for the phase-domain
+    resampler (`make_phase_resampler`)."""
     import math
 
     out_size, in_size = w.shape
@@ -127,6 +132,8 @@ def _banded_from_matrix(w: np.ndarray, target_tc: int = 128):
     if tc >= out_size:
         return None
     stride = tc * q // p
+    if stride % halo_align:
+        return None
     t = -(-out_size // tc)  # ceil: pad output, crop after
 
     # per-row support bounds
@@ -138,6 +145,7 @@ def _banded_from_matrix(w: np.ndarray, target_tc: int = 128):
 
     tiles = np.arange(out_size) // tc
     halo = int(max(0, (tiles * stride - lo).max()))
+    halo = ((halo + halo_align - 1) // halo_align) * halo_align
     tail = int(max(0, (hi - (tiles + 1) * stride + 1).max()))
     if halo + tail > stride:  # band too wide for the 2-block slab
         return None
@@ -352,6 +360,74 @@ def make_resampler(
         wv = _axis_weights(in_h, out_h, algorithm)
         wh = _axis_weights(in_w, out_w, algorithm)
         fn = functools.partial(_dense_body, wv_np=wv, wh_np=wh, precision=prec)
+
+    return jax.jit(fn)
+
+
+def make_phase_resampler(
+    in_h: int, in_w: int, out_h: int, out_w: int, st: int,
+    algorithm: str = "lanczos3",
+):
+    """Resampler consuming a PHASE tensor: f32 [nh, nw, st²·C] in s2d
+    channel order (row-phase, col-phase, c), values raw 0..255 — numerically
+    equal to ``make_resampler(...)(d2s(ph))`` WITHOUT materializing the
+    full-res frame.
+
+    Why: a stride-st conv net's phase output keeps its spatial phases in the
+    lane dim; moving them into rows (any d2s slice/reshape/stack) is a lane→
+    sublane relayout that costs ~2-5 ms at 1080p (refine_bisect3/4). But the
+    d2s row de-interleave maps phase row (n, q) to full-res row st·n + q —
+    the row-major (n, q) flatten IS the original row index, so the banded
+    weight blocks are UNCHANGED and only the tap axis folds as (s_n, q); the
+    MXU contracts the phases out of the lane dim as part of the resample
+    itself (measured 2.98 vs 5.67 ms for net+d2s+upscale, refine_bisect5).
+
+    Returns None when the st-aligned banded form doesn't exist (awkward
+    scales) — callers fall back to d2s + make_resampler.
+    """
+    algorithm = normalize_algorithm(algorithm)
+    nh, nw = in_h // st, in_w // st
+    if in_h % st or in_w % st:
+        return None
+    bv = _banded_from_matrix(_axis_weights(in_h, out_h, algorithm), halo_align=st)
+    bh = _banded_from_matrix(_axis_weights(in_w, out_w, algorithm), halo_align=st)
+    if bv is None or bh is None:
+        return None
+    av, stride_v, halo_v, tc_v, t_v = bv
+    ah, stride_h, halo_h, tc_h, t_h = bh
+    # fold the tap axis s → (s_n, q) / (s_w, p)
+    av4_hi, av4_lo = _split_bf16(av.reshape(t_v, 2 * stride_v // st, st, tc_v))
+    ah4_hi, ah4_lo = _split_bf16(ah.reshape(t_h, 2 * stride_h // st, st, tc_h))
+
+    def fn(ph):
+        c = ph.shape[-1] // (st * st)
+        ph4 = ph.astype(jnp.bfloat16).reshape(nh, nw, st, st * c)
+        # v-pass: block along n, contract (s_n, q) — output rows full-res
+        total_n = (t_v + 1) * (stride_v // st)
+        pad_hd = halo_v // st
+        ph4p = jnp.pad(
+            ph4, [(pad_hd, total_n - pad_hd - nh), (0, 0), (0, 0), (0, 0)]
+        )
+        blocks = ph4p.reshape(t_v + 1, stride_v // st, nw, st, st * c)
+        slab = jnp.concatenate([blocks[:-1], blocks[1:]], axis=1)
+        y1 = jnp.einsum("tsqp,tswql->tpwl", av4_hi, slab,
+                        preferred_element_type=jnp.float32)
+        y1 = y1 + jnp.einsum("tsqp,tswql->tpwl", av4_lo, slab,
+                             preferred_element_type=jnp.float32)
+        y1 = y1.reshape(t_v * tc_v, nw, st * c)[:out_h]
+        # h-pass: fold the column phase p out of the lanes, contract (s_w, p)
+        x = y1.astype(jnp.bfloat16).reshape(out_h, nw, st, c)
+        total_w = (t_h + 1) * (stride_h // st)
+        pad_hd = halo_h // st
+        xp = jnp.pad(x, [(0, 0), (pad_hd, total_w - pad_hd - nw), (0, 0), (0, 0)])
+        blocks = xp.reshape(out_h, t_h + 1, stride_h // st, st, c)
+        slab = jnp.concatenate([blocks[:, :-1], blocks[:, 1:]], axis=2)
+        y2 = jnp.einsum("tsqp,htsqc->htpc", ah4_hi, slab,
+                        preferred_element_type=jnp.float32)
+        y2 = y2 + jnp.einsum("tsqp,htsqc->htpc", ah4_lo, slab,
+                             preferred_element_type=jnp.float32)
+        y2 = y2.reshape(out_h, t_h * tc_h, c)[:, :out_w]
+        return jnp.trunc(jnp.clip(y2, 0.0, 255.0)).astype(jnp.uint8)
 
     return jax.jit(fn)
 

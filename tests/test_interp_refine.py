@@ -57,6 +57,7 @@ def test_fused_serving_matches_float_twin(rng, monkeypatch):
     monkeypatch.setattr(ir, "load_checkpoint", lambda: (params, 0))
     monkeypatch.setattr(ir, "make_model", lambda features=128, blocks=1: (model, params))
     ir.get_refine_graph.cache_clear()
+    ir.get_refine_phase_graph.cache_clear()
     ir._make_refine_fn.cache_clear()
 
     a = rng.integers(0, 256, (32, 64, 4), np.uint8)
@@ -73,6 +74,7 @@ def test_fused_serving_matches_float_twin(rng, monkeypatch):
     np.testing.assert_array_equal(out[..., 3], 255)
 
     ir.get_refine_graph.cache_clear()
+    ir.get_refine_phase_graph.cache_clear()
     ir._make_refine_fn.cache_clear()
 
 
@@ -101,6 +103,7 @@ def test_quant_serving_matches_quant_twin(rng, monkeypatch, tmp_path):
     assert ir.load_act_scales(step=7) == scales
 
     ir.get_refine_graph.cache_clear()
+    ir.get_refine_phase_graph.cache_clear()
     ir._make_refine_fn.cache_clear()
     out = np.asarray(ir.refine_mid(*(jnp.asarray(t) for t in (a, b, mid))))
     np.testing.assert_array_equal(out[..., 3], 255)
@@ -118,6 +121,7 @@ def test_quant_serving_matches_quant_twin(rng, monkeypatch, tmp_path):
     assert float(np.abs(tw - fl).mean()) < 0.02
 
     ir.get_refine_graph.cache_clear()
+    ir.get_refine_phase_graph.cache_clear()
     ir._make_refine_fn.cache_clear()
 
 
@@ -128,6 +132,7 @@ def test_flow_soft_ref_mode_falls_back_without_checkpoint(rng, monkeypatch):
 
     monkeypatch.setattr(ir, "load_checkpoint", lambda: None)
     ir.get_refine_graph.cache_clear()
+    ir.get_refine_phase_graph.cache_clear()
     I.make_interpolator.cache_clear()
 
     a = jnp.asarray(rng.integers(0, 256, (16, 256, 4), np.uint8))
@@ -137,6 +142,7 @@ def test_flow_soft_ref_mode_falls_back_without_checkpoint(rng, monkeypatch):
     np.testing.assert_array_equal(out, ref)
     I.make_interpolator.cache_clear()
     ir.get_refine_graph.cache_clear()
+    ir.get_refine_phase_graph.cache_clear()
 
 
 def test_flow_soft_ref_mode_applies_refinement(rng, monkeypatch):
@@ -148,6 +154,7 @@ def test_flow_soft_ref_mode_applies_refinement(rng, monkeypatch):
     monkeypatch.setattr(ir, "load_checkpoint", lambda: (params, 0))
     monkeypatch.setattr(ir, "make_model", lambda features=128, blocks=1: (model, params))
     ir.get_refine_graph.cache_clear()
+    ir.get_refine_phase_graph.cache_clear()
     I.make_interpolator.cache_clear()
 
     a = jnp.asarray(rng.integers(0, 256, (16, 256, 4), np.uint8))
@@ -160,6 +167,7 @@ def test_flow_soft_ref_mode_applies_refinement(rng, monkeypatch):
 
     I.make_interpolator.cache_clear()
     ir.get_refine_graph.cache_clear()
+    ir.get_refine_phase_graph.cache_clear()
 
 
 def test_api_interpolator_accepts_mode(rng, monkeypatch):
@@ -168,6 +176,7 @@ def test_api_interpolator_accepts_mode(rng, monkeypatch):
 
     monkeypatch.setattr(ir, "load_checkpoint", lambda: None)
     ir.get_refine_graph.cache_clear()
+    ir.get_refine_phase_graph.cache_clear()
     it = nsc.create_interpolator("flow_soft_ref")
     a = rng.integers(0, 256, (16, 256, 4), np.uint8).tobytes()
     b = rng.integers(0, 256, (16, 256, 4), np.uint8).tobytes()
@@ -185,6 +194,7 @@ def test_eval_interp_refinement_helper(rng, monkeypatch):
 
     monkeypatch.setattr(ir, "load_checkpoint", lambda: None)
     ir.get_refine_graph.cache_clear()
+    ir.get_refine_phase_graph.cache_clear()
     I.make_interpolator.cache_clear()
 
     q = eval_interp_refinement(seeds=(900,), frames=3, height=64, width=128)
@@ -193,6 +203,7 @@ def test_eval_interp_refinement_helper(rng, monkeypatch):
 
     I.make_interpolator.cache_clear()
     ir.get_refine_graph.cache_clear()
+    ir.get_refine_phase_graph.cache_clear()
 
 
 def test_stage_timings_flow_soft_ref(rng, monkeypatch):
@@ -205,6 +216,7 @@ def test_stage_timings_flow_soft_ref(rng, monkeypatch):
     monkeypatch.setattr(ir, "load_checkpoint", lambda: (params, 0))
     monkeypatch.setattr(ir, "make_model", lambda features=128, blocks=1: (model, params))
     ir.get_refine_graph.cache_clear()
+    ir.get_refine_phase_graph.cache_clear()
     I.make_interpolator.cache_clear()
     I.calibrated_step_ms.cache_clear()
 
@@ -215,3 +227,63 @@ def test_stage_timings_flow_soft_ref(rng, monkeypatch):
     I.make_interpolator.cache_clear()
     I.calibrated_step_ms.cache_clear()
     ir.get_refine_graph.cache_clear()
+    ir.get_refine_phase_graph.cache_clear()
+
+
+def test_refined_mid_upscaler_phase_path(rng, monkeypatch):
+    """make_refined_mid_upscaler (soft warp → phase net → phase-domain
+    banded resample, ONE program, no d2s relayout) must match the composed
+    reference path up(refine(mid)) to a couple of LSB (same weights,
+    different summation order — refine_bisect5 measured max|Δ|=3 at 4K)."""
+    from nu_scaler_tpu.ops import interpolate as I
+    from nu_scaler_tpu.ops import resample
+
+    model, params = _tiny_model()
+    monkeypatch.setattr(ir, "load_checkpoint", lambda: (params, 0))
+    monkeypatch.setattr(ir, "make_model", lambda features=128, blocks=1: (model, params))
+    ir.get_refine_graph.cache_clear()
+    ir.get_refine_phase_graph.cache_clear()
+    I.make_refined_mid_upscaler.cache_clear()
+
+    h, w, oh, ow = 136, 256, 272, 512
+    a = jnp.asarray(rng.integers(0, 256, (h, w, 4), np.uint8))
+    b = jnp.asarray(np.roll(np.asarray(a), 4, axis=1))
+
+    fused = I.make_refined_mid_upscaler(h, w, oh, ow)
+    got = np.asarray(fused(a, b, 0.5))
+
+    mid = I.soft_interp_fast(a, b, 0.5)
+    refined = ir.get_refine_graph(h, w)(a, b, mid)
+    want = np.asarray(resample.make_resampler(h, w, oh, ow, "lanczos3")(refined))
+
+    assert got.shape == (oh, ow, 4)
+    from nu_scaler_tpu.ops.metrics import psnr
+
+    assert psnr(got, want) >= 55.0
+
+    I.make_refined_mid_upscaler.cache_clear()
+    ir.get_refine_graph.cache_clear()
+    ir.get_refine_phase_graph.cache_clear()
+
+
+def test_refined_mid_upscaler_falls_back_without_checkpoint(rng, monkeypatch):
+    """Without a checkpoint the fused upscaler degrades to up(flow_soft)."""
+    from nu_scaler_tpu.ops import interpolate as I
+    from nu_scaler_tpu.ops import resample
+
+    monkeypatch.setattr(ir, "load_checkpoint", lambda: None)
+    ir.get_refine_graph.cache_clear()
+    ir.get_refine_phase_graph.cache_clear()
+    I.make_refined_mid_upscaler.cache_clear()
+
+    h, w, oh, ow = 136, 256, 272, 512
+    a = jnp.asarray(rng.integers(0, 256, (h, w, 4), np.uint8))
+    b = jnp.asarray(np.roll(np.asarray(a), 4, axis=1))
+    got = np.asarray(I.make_refined_mid_upscaler(h, w, oh, ow)(a, b, 0.5))
+    mid = I.soft_interp_fast(a, b, 0.5)
+    want = np.asarray(resample.make_resampler(h, w, oh, ow, "lanczos3")(mid))
+    np.testing.assert_array_equal(got, want)
+
+    I.make_refined_mid_upscaler.cache_clear()
+    ir.get_refine_graph.cache_clear()
+    ir.get_refine_phase_graph.cache_clear()

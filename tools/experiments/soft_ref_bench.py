@@ -60,6 +60,21 @@ def main() -> None:
     log(f"flow_soft_ref step  : {t_ref:7.3f} ms  ({2e3 / t_ref:7.1f} out-fps)")
     log(f"refinement share    : {t_ref - t_base:7.3f} ms")
 
+    # the production composition: phase-domain net output feeds the banded
+    # resample directly (make_refined_mid_upscaler — what bench.py times)
+    mid_up = I.make_refined_mid_upscaler(h, w, 2160, 3840)
+
+    def step_phase(state):
+        prev, cur, acc = state
+        out_mid = mid_up(prev, cur, 0.5)
+        out_cur = up(cur)
+        nxt = out_cur[:h, :w, :]
+        acc = acc + jnp.sum(out_mid[:1, :8, 0].astype(jnp.float32))
+        return (cur, nxt, acc)
+
+    t_ph = device_timer(step_phase, state0, iters=10) * 1e3
+    log(f"flow_soft_ref phase : {t_ph:7.3f} ms  ({2e3 / t_ph:7.1f} out-fps)")
+
     # standalone refinement cost (net alone, no warp/upscale context)
     def ref_only(state):
         prev, cur, acc = state
