@@ -32,6 +32,11 @@ def main() -> None:
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--seeds", type=int, nargs="+", default=[900, 901, 902])
     ap.add_argument("--frames", type=int, default=5)
+    ap.add_argument("--factor", type=int, default=2,
+                    help="frame-rate multiplier: 2 predicts the middle frame "
+                         "(t=0.5); 3 predicts BOTH intermediates (t=1/3, 2/3) "
+                         "from frames 3 apart — scores whether each mode (and "
+                         "the t=0.5-trained refinement net) holds off-center")
     args = ap.parse_args()
 
     import jax
@@ -47,18 +52,18 @@ def main() -> None:
 
     print(f"device {jax.devices()[0]}  {args.height}x{args.width}", flush=True)
 
-    def predict(mode, a, b):
+    def predict(mode, a, b, t):
         if mode == "blend":
-            return I.blend_only(a, b, 0.5)
+            return I.blend_only(a, b, t)
         if mode == "flow_soft":
-            return I.soft_interp_fast(a, b, 0.5)
+            return I.soft_interp_fast(a, b, t)
         if mode == "flow_soft_ref":
             return I.make_interpolator(a.shape[0], a.shape[1], "flow_soft_ref")(
-                a, b, 0.5
+                a, b, t
             )
         base = {"flow": 0, "flow_half": 1}[mode]
         flow = I.compute_flow_fast(a, b, base_level=base)
-        return I.warp_blend_fast(a, b, flow, 0.5)
+        return I.warp_blend_fast(a, b, flow, t)
 
     modes = ["blend", "flow", "flow_half", "flow_soft"]
     from nu_scaler_tpu.models.interp_refine import refine_available
@@ -66,17 +71,20 @@ def main() -> None:
     if refine_available():
         modes.append("flow_soft_ref")
     scores: dict = {m: [] for m in modes}
+    fac = args.factor
     for seed in args.seeds:
         clip = clip_through_video_path(
             render_clip(args.height, args.width, frames=args.frames, seed=seed)
         )
-        for k in range(1, len(clip) - 1, 2):
-            a = jnp.asarray(clip[k - 1])
-            b = jnp.asarray(clip[k + 1])
-            truth = clip[k]
-            for mode in scores:
-                mid = np.asarray(predict(mode, a, b))
-                scores[mode].append((psnr(mid, truth), ssim(mid, truth)))
+        for k in range(0, len(clip) - fac, fac):
+            a = jnp.asarray(clip[k])
+            b = jnp.asarray(clip[k + fac])
+            for j in range(1, fac):
+                truth = clip[k + j]
+                t = j / fac
+                for mode in scores:
+                    mid = np.asarray(predict(mode, a, b, t))
+                    scores[mode].append((psnr(mid, truth), ssim(mid, truth)))
         print(f"seed {seed}: done", flush=True)
 
     base_p = float(np.mean([p for p, _ in scores["blend"]]))
