@@ -287,3 +287,38 @@ def test_refined_mid_upscaler_falls_back_without_checkpoint(rng, monkeypatch):
     I.make_refined_mid_upscaler.cache_clear()
     ir.get_refine_graph.cache_clear()
     ir.get_refine_phase_graph.cache_clear()
+
+
+def test_refined_multi_upscaler_matches_per_mid_composition(rng, monkeypatch):
+    """make_refined_multi_upscaler (one motion solve, each mid refined +
+    phase-resampled) must match the per-mid composed path to PSNR ≥ 55."""
+    from nu_scaler_tpu.ops import interpolate as I
+    from nu_scaler_tpu.ops import resample
+
+    model, params = _tiny_model()
+    monkeypatch.setattr(ir, "load_checkpoint", lambda: (params, 0))
+    monkeypatch.setattr(ir, "make_model", lambda features=128, blocks=1: (model, params))
+    ir.get_refine_graph.cache_clear()
+    ir.get_refine_phase_graph.cache_clear()
+    I.make_refined_multi_upscaler.cache_clear()
+
+    h, w, oh, ow = 136, 256, 272, 512
+    ts = (1.0 / 3.0, 2.0 / 3.0)
+    a = jnp.asarray(rng.integers(0, 256, (h, w, 4), np.uint8))
+    b = jnp.asarray(np.roll(np.asarray(a), 4, axis=1))
+
+    outs = np.asarray(I.make_refined_multi_upscaler(h, w, oh, ow, ts)(a, b))
+    assert outs.shape == (2, oh, ow, 4)
+
+    mids = I.soft_interp_multi(a, b, ts)
+    ref = ir.get_refine_graph(h, w)
+    up = resample.make_resampler(h, w, oh, ow, "lanczos3")
+    from nu_scaler_tpu.ops.metrics import psnr
+
+    for i in range(2):
+        want = np.asarray(up(ref(a, b, mids[i])))
+        assert psnr(outs[i], want) >= 55.0
+
+    I.make_refined_multi_upscaler.cache_clear()
+    ir.get_refine_graph.cache_clear()
+    ir.get_refine_phase_graph.cache_clear()
