@@ -208,20 +208,62 @@ class TripletPool:
         seed0: int = 100,
         height: int = 1080,
         width: int = 1920,
+        factors: tuple = (2,),
+        sources: tuple = ("native",),
     ):
+        """factors: frame-rate multipliers to render triplets for. (2,) =
+        t=0.5 only (the 2× live path). Adding 3 renders pairs THREE frames
+        apart with production mids at t=1/3 and 2/3 — training data for the
+        N-factor frame-generation path (soft_interp_multi / hs-soft3x-ref),
+        where the t=0.5-only net measured +0.70 dB off-center and a
+        t-diverse pool may close more of the remaining gap.
+
+        sources: clip provenance mix, round-robin per clip. "native" renders
+        at (height, width) directly; "down4k" renders at 2× and
+        area-downsamples — the distribution a real capture pipeline feeds
+        (the e2e eval measured the native-only net LOSING its gains on
+        downsampled sources: 22.38 vs flow_soft 23.41 dB interpolated,
+        tools/e2e_quality_eval.py)."""
         from nu_scaler_tpu.models.data import clip_through_video_path, render_clip
         from nu_scaler_tpu.ops.interpolate import soft_interp_fast
 
-        mid_fn = jax.jit(lambda a, b: soft_interp_fast(a, b, 0.5))
+        down = None
+        mid_fns = {}
         triplets = []  # (A, B, mid, target) full frames u8 RGBA
         for c in range(n_clips):
-            clip = clip_through_video_path(
-                render_clip(height, width, seed=seed0 + c, frames=frames_per_clip)
-            )
-            for k in range(1, len(clip) - 1):
-                a, b, tgt = clip[k - 1], clip[k + 1], clip[k]
-                mid = np.asarray(mid_fn(jnp.asarray(a), jnp.asarray(b)))
-                triplets.append((a, b, mid, tgt))
+            src = sources[c % len(sources)]
+            if src == "down4k":
+                if down is None:
+                    from nu_scaler_tpu.ops.resample import make_resampler
+
+                    down = make_resampler(
+                        2 * height, 2 * width, height, width, "area"
+                    )
+                big = render_clip(
+                    2 * height, 2 * width, seed=seed0 + c, frames=frames_per_clip
+                )
+                clip = clip_through_video_path(
+                    [np.asarray(down(jnp.asarray(f))) for f in big]
+                )
+            else:
+                clip = clip_through_video_path(
+                    render_clip(height, width, seed=seed0 + c, frames=frames_per_clip)
+                )
+            for f in factors:
+                # stride 1: overlapping pairs, like the original t=0.5 pool
+                for k in range(0, len(clip) - f):
+                    a, b = clip[k], clip[k + f]
+                    for j in range(1, f):
+                        t = j / f
+                        if t not in mid_fns:
+                            mid_fns[t] = jax.jit(
+                                functools.partial(
+                                    lambda a, b, _t: soft_interp_fast(a, b, _t),
+                                    _t=t,
+                                )
+                            )
+                        mid = np.asarray(mid_fns[t](jnp.asarray(a), jnp.asarray(b)))
+                        triplets.append((a, b, mid, clip[k + j]))
         xs = np.empty((pool_size, crop, crop, 9), np.float32)
         ys = np.empty((pool_size, crop, crop, 3), np.float32)
         for i in range(pool_size):
@@ -253,6 +295,8 @@ def train(
     save: bool = True,
     height: int = 1080,
     width: int = 1920,
+    factors: tuple = (2,),
+    sources: tuple = ("native",),
 ) -> float:
     rng = np.random.default_rng(seed)
     model, params = make_model()
@@ -285,7 +329,7 @@ def train(
     print("rendering triplet pool (production soft-warp mids)...", flush=True)
     pool = TripletPool(
         rng, crop=crop, n_clips=n_clips, pool_size=pool_size,
-        height=height, width=width,
+        height=height, width=width, factors=factors, sources=sources,
     )
     pool_x = jax.device_put(pool.xs)
     pool_y = jax.device_put(pool.ys)
@@ -606,6 +650,14 @@ if __name__ == "__main__":
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--factors", type=int, nargs="+", default=[2],
+                    help="frame-rate factors for the triplet pool: 2 = "
+                         "t=0.5 only; '2 3' adds t=1/3, 2/3 triplets")
+    ap.add_argument("--sources", nargs="+", default=["native"],
+                    choices=["native", "down4k"],
+                    help="clip provenance mix (round-robin per clip): "
+                         "'native down4k' trains on both render-res and "
+                         "downsampled-from-2x sources")
     ap.add_argument("--calibrate", action="store_true",
                     help="calibrate int8 activation scales for the current "
                          "checkpoint (training clips only) and save "
@@ -629,4 +681,5 @@ if __name__ == "__main__":
     else:
         train(steps=args.steps, batch=args.batch, lr=args.lr,
               n_clips=args.clips, pool_size=args.pool,
-              height=args.height, width=args.width)
+              height=args.height, width=args.width,
+              factors=tuple(args.factors), sources=tuple(args.sources))

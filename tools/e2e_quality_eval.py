@@ -17,8 +17,9 @@ Tiers:
   flow_soft     lanczos3 + production MC warp
   flow_soft_ref lanczos3 + MC warp + learned refinement (phase-domain path)
   fsr           EASU+RCAS + production MC warp
-  dlss_ref      learned SR (int8 quality ladder) + refined MC mid through
-                the learned SR — the maximum-quality offline pipeline
+  dlss_soft     learned SR (int8 quality ladder) + plain MC mid through
+                the learned SR
+  dlss_ref      learned SR + REFINED MC mid through the learned SR
                 (`nu-scaler transcode --technology dlss --interp-mode
                 flow_soft_ref`)
 
@@ -37,7 +38,7 @@ import sys
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-ALL_TIERS = ("blend", "flow_soft", "flow_soft_ref", "fsr", "dlss_ref")
+ALL_TIERS = ("blend", "flow_soft", "flow_soft_ref", "fsr", "dlss_soft", "dlss_ref")
 
 
 def main() -> None:
@@ -90,12 +91,12 @@ def main() -> None:
             return fsr_up, jax.jit(
                 lambda a, b: fsr_up(I.soft_interp_fast(a, b, 0.5))
             )
-        if name == "dlss_ref":
+        if name in ("dlss_soft", "dlss_ref"):
             from nu_scaler_tpu.models.esrgan_lite import make_pretrained_upscaler
             from nu_scaler_tpu.models.interp_refine import get_refine_graph
 
             sr = make_pretrained_upscaler(ih, iw, oh, ow)
-            ref = get_refine_graph(ih, iw)
+            ref = get_refine_graph(ih, iw) if name == "dlss_ref" else None
 
             def mid4k(a, b, _ref=ref):
                 mid = I.soft_interp_fast(a, b, 0.5)
