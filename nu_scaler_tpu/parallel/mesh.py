@@ -249,40 +249,45 @@ def fsr_frame_spatial(
     return fn(jax.device_put(jnp.asarray(frame, jnp.uint8), sh))
 
 
+def _spatial_refine_builder(mode: str):
+    """The sp refinement closure, or None. It rides the FLOAT-domain module
+    forward, not the raw-domain selector-matmul graph: the one-hot row-phase
+    selector einsum contracts over the full H axis, which under row sharding
+    would force an all-gather; the module's s2d reshape is local per shard
+    (H_shard must divide the stride) and XLA inserts the conv halo exchanges
+    over ICI — same design as `esrgan_infer_spatial`."""
+    if mode != "flow_soft_ref":
+        return None
+    from nu_scaler_tpu.models import interp_refine as _ir
+
+    restored = _ir.load_checkpoint()
+    if restored is None:
+        raise ValueError("flow_soft_ref needs a trained interp_ref4 checkpoint")
+    _params = restored[0]
+    _model, _ = _ir.make_model()
+
+    def refine(a, b, mid):
+        triple = jnp.concatenate(
+            [a[..., :3], b[..., :3], mid[..., :3]], axis=-1
+        ).astype(jnp.bfloat16) / jnp.asarray(255.0, jnp.bfloat16)
+        res = _model.apply(_params, triple[None])[0]
+        rgb = jnp.clip(
+            jnp.round(mid[..., :3].astype(jnp.float32) + res.astype(jnp.float32) * 255.0),
+            0,
+            255,
+        ).astype(jnp.uint8)
+        return jnp.concatenate([rgb, mid[..., 3:]], axis=-1)
+
+    return refine
+
+
 @functools.lru_cache(maxsize=16)
 def _spatial_interp_fn(mesh_key, mode: str, levels: int, axis: str):
     from nu_scaler_tpu.ops import interpolate as _interp
 
     mesh = mesh_key
     sh = NamedSharding(mesh, P(axis, None, None))
-
-    refine = None
-    if mode == "flow_soft_ref":
-        # sp refinement rides the FLOAT-domain module forward, not the
-        # raw-domain selector-matmul graph: the one-hot row-phase selector
-        # einsum contracts over the full H axis, which under row sharding
-        # would force an all-gather; the module's s2d reshape is local per
-        # shard (H_shard must divide the stride) and XLA inserts the conv
-        # halo exchanges over ICI — same design as `esrgan_infer_spatial`.
-        from nu_scaler_tpu.models import interp_refine as _ir
-
-        restored = _ir.load_checkpoint()
-        if restored is None:
-            raise ValueError("flow_soft_ref needs a trained interp_ref4 checkpoint")
-        _params = restored[0]
-        _model, _ = _ir.make_model()
-
-        def refine(a, b, mid):
-            triple = jnp.concatenate(
-                [a[..., :3], b[..., :3], mid[..., :3]], axis=-1
-            ).astype(jnp.bfloat16) / jnp.asarray(255.0, jnp.bfloat16)
-            res = _model.apply(_params, triple[None])[0]
-            rgb = jnp.clip(
-                jnp.round(mid[..., :3].astype(jnp.float32) + res.astype(jnp.float32) * 255.0),
-                0,
-                255,
-            ).astype(jnp.uint8)
-            return jnp.concatenate([rgb, mid[..., 3:]], axis=-1)
+    refine = _spatial_refine_builder(mode)
 
     def fn(a, b, t):
         if mode == "blend":
@@ -330,6 +335,63 @@ def interpolate_frame_spatial(
     a = jax.device_put(jnp.asarray(frame_a, jnp.uint8), sh)
     b = jax.device_put(jnp.asarray(frame_b, jnp.uint8), sh)
     return fn(a, b, float(time_t))
+
+
+@functools.lru_cache(maxsize=16)
+def _spatial_multi_fn(mesh_key, ts: tuple, mode: str, levels: int, axis: str):
+    from nu_scaler_tpu.ops import interpolate as _interp
+
+    mesh = mesh_key
+    sh = NamedSharding(mesh, P(axis, None, None))
+    out_sh = NamedSharding(mesh, P(None, axis, None, None))
+    refine = _spatial_refine_builder(mode)
+
+    def fn(a, b):
+        if mode == "blend":
+            return jnp.stack([_interp.blend_only(a, b, t) for t in ts], axis=0)
+        flow = _interp.compute_flow_fast(a, b, levels=levels)
+        mids = [
+            _interp.warp_blend_fast(
+                a, b, flow, t,
+                overlap=mode in ("flow_soft", "flow_soft_ref"),
+                pallas_ok=False,
+            )
+            for t in ts
+        ]
+        if refine is not None:
+            mids = [refine(a, b, m) for m in mids]
+        return jnp.stack(mids, axis=0)
+
+    return jax.jit(fn, in_shardings=(sh, sh), out_shardings=out_sh)
+
+
+def interpolate_multi_spatial(
+    frame_a,
+    frame_b,
+    ts=(1.0 / 3.0, 2.0 / 3.0),
+    mode: str = "flow_soft",
+    mesh: Mesh | None = None,
+    levels: int = 2,
+    axis: str = "batch",
+) -> jax.Array:
+    """ONE pair's N-factor frame generation with the frames sharded
+    spatially (sp): one motion solve, one in-between frame per entry of
+    `ts`, rows split over the mesh so a single pair's latency can use the
+    whole slice — the multi-t counterpart of `interpolate_frame_spatial`
+    (the FSR3 frame-gen role, fsr3.rs:319-376, latency-sharded).
+
+    frame_a/frame_b: u8 [H, W, 4] → u8 [len(ts), H, W, 4]. Modes as in
+    `interpolate_frame_spatial`; "flow_soft_ref" refines every mid with the
+    learned net (float-domain module forward; H/mesh_size must divide the
+    net's stride)."""
+    if mesh is None:
+        mesh = make_mesh(axis=axis)
+    ts = tuple(float(t) for t in ts)
+    fn = _spatial_multi_fn(mesh, ts, mode, levels, axis)
+    sh = NamedSharding(mesh, P(axis, None, None))
+    a = jax.device_put(jnp.asarray(frame_a, jnp.uint8), sh)
+    b = jax.device_put(jnp.asarray(frame_b, jnp.uint8), sh)
+    return fn(a, b)
 
 
 def esrgan_infer_spatial(model, params, x, mesh: Mesh | None = None, axis: str = "batch",

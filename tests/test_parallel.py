@@ -234,3 +234,23 @@ def test_esrgan_infer_spatial_int8_matches_single_device():
     )
     out_ref = np.asarray(el.make_quant_apply(m, p, scales)(x))
     np.testing.assert_allclose(out_sp, out_ref, rtol=2e-5, atol=2e-5)
+
+
+def test_interpolate_multi_spatial_matches_single(rng):
+    """sp N-factor frame generation: one motion solve, rows sharded over
+    the mesh, one mid per t. Must match the single-device math."""
+    from nu_scaler_tpu.ops import interpolate as I
+    import jax.numpy as jnp
+
+    m = pmesh.make_mesh()
+    a = rng.integers(0, 256, (64, 64, 4), np.uint8)
+    b = np.roll(a, 3, axis=1)
+    ts = (1.0 / 3.0, 2.0 / 3.0)
+    out = np.asarray(pmesh.interpolate_multi_spatial(a, b, ts, "flow_soft", m, levels=2))
+    assert out.shape == (2, 64, 64, 4)
+    flow = I.compute_flow_fast(jnp.asarray(a), jnp.asarray(b), levels=2)
+    for i, t in enumerate(ts):
+        ref = np.asarray(
+            I.warp_blend_fast(jnp.asarray(a), jnp.asarray(b), flow, t, overlap=True)
+        )
+        np.testing.assert_allclose(out[i].astype(int), ref.astype(int), atol=2)
