@@ -322,3 +322,19 @@ def test_refined_multi_upscaler_matches_per_mid_composition(rng, monkeypatch):
     I.make_refined_multi_upscaler.cache_clear()
     ir.get_refine_graph.cache_clear()
     ir.get_refine_phase_graph.cache_clear()
+
+
+def test_triplet_pool_factor_and_source_diversity(rng):
+    """The training pool accepts t-factor (2, 3) and source (native,
+    down4k) diversity: correct crop shapes, [0,1] range, targets distinct
+    from mids (there is something to learn)."""
+    pool = ir.TripletPool(
+        rng, crop=32, n_clips=2, frames_per_clip=4, pool_size=12,
+        height=96, width=160, factors=(2, 3), sources=("native", "down4k"),
+    )
+    assert pool.xs.shape == (12, 32, 32, 9)
+    assert pool.ys.shape == (12, 32, 32, 3)
+    assert 0.0 <= pool.xs.min() and pool.xs.max() <= 1.0
+    assert 0.0 <= pool.ys.min() and pool.ys.max() <= 1.0
+    mids = pool.xs[..., 6:9]
+    assert float(np.abs(mids - pool.ys).mean()) > 1e-4
