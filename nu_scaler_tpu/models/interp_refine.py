@@ -370,16 +370,11 @@ def get_refine_phase_graph(in_h: int, in_w: int, dtype=jnp.bfloat16):
 
     Raw-domain graph like `make_serving_fn_fused`: the 1/255 input
     normalization folds into the head kernel, ×255 into the tail kernel;
-    s2d rides the one-hot row-phase selector matmuls; d2s is the free
-    lane-slice reshape. Alpha passes through from the mid frame.
-
-    The mid-add runs in the PHASE domain: the tail kernel is RGBA-expanded
-    (alpha outputs zero) and the mid's own phase decomposition (four cheap
-    selector einsums) is added to the conv output before the u8 round, so
-    the d2s interleave moves u8 [nh, nw, st²·4] instead of f32 — and no
-    elementwise op ever touches a lane-padded [H, W, 3] f32 array (the r3
-    anatomy probe showed the f32 d2s + raw-domain residual add epilogue was
-    where most of the net's real 6.4 ms went; CLAUDE.md channel-minor
+    s2d rides the one-hot row-phase selector matmuls. Alpha passes through
+    from the mid frame (the tail is RGBA-expanded with zero alpha rows and
+    the mid's own phase decomposition — four cheap selector einsums — is
+    added to the conv output before the round), so no elementwise op ever
+    touches a lane-padded [H, W, 3] f32 array (CLAUDE.md channel-minor
     rule)."""
     restored = load_checkpoint()
     if restored is None:
