@@ -645,6 +645,9 @@ if __name__ == "__main__":
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="pool-render + batch-order seed (vary per leg to "
+                         "draw fresh clips/crops)")
     ap.add_argument("--factors", type=int, nargs="+", default=[2],
                     help="frame-rate factors for the triplet pool: 2 = "
                          "t=0.5 only; '2 3' adds t=1/3, 2/3 triplets")
@@ -674,7 +677,7 @@ if __name__ == "__main__":
         path = save_act_scales(scales, step)
         print(f"saved {path}: {scales}", flush=True)
     else:
-        train(steps=args.steps, batch=args.batch, lr=args.lr,
+        train(steps=args.steps, batch=args.batch, lr=args.lr, seed=args.seed,
               n_clips=args.clips, pool_size=args.pool,
               height=args.height, width=args.width,
               factors=tuple(args.factors), sources=tuple(args.sources))
