@@ -141,7 +141,10 @@ def interpolate_batch_sharded(
     `upscale_batch_sharded`).
 
     pairs_a/pairs_b: u8 [N, H, W, 4].
-    mode: "blend" | "flow" | "flow_soft" (the overlapped-tile warp).
+    mode: "blend" | "flow" | "flow_soft" (the overlapped-tile warp) |
+    "flow_soft_ref" (+ the learned refinement net on each chip's mids —
+    dp shards hold complete frames, so the raw-domain selector-matmul
+    serving graph applies per frame, unlike the sp row-sharded path).
     """
     shard_map = jax.shard_map
 
@@ -156,11 +159,28 @@ def interpolate_batch_sharded(
         pairs_a = np.concatenate([pairs_a, np.repeat(pairs_a[-1:], pad, axis=0)])
         pairs_b = np.concatenate([pairs_b, np.repeat(pairs_b[-1:], pad, axis=0)])
 
+    refine = None
+    if mode == "flow_soft_ref":
+        from nu_scaler_tpu.models.interp_refine import get_refine_graph
+
+        h_, w_ = int(pairs_a.shape[1]), int(pairs_a.shape[2])
+        if h_ % 4 == 0 and w_ % 4 == 0:
+            refine = get_refine_graph(h_, w_)
+        if refine is None:
+            raise ValueError(
+                "flow_soft_ref needs a trained interp_ref4 checkpoint and "
+                "H/W divisible by the net stride"
+            )
+
     def one(a, b):
         if mode == "blend":
             return _interp.blend_only(a, b, time_t)
         flow = _interp.compute_flow_fast(a, b, levels=levels)
-        return _interp.warp_blend_fast(a, b, flow, time_t, overlap=mode == "flow_soft")
+        mid = _interp.warp_blend_fast(
+            a, b, flow, time_t,
+            overlap=mode in ("flow_soft", "flow_soft_ref"),
+        )
+        return mid if refine is None else refine(a, b, mid)
 
     def body(a_shard, b_shard):
         # lax.map (not vmap) so each frame keeps the single-frame gather-free

@@ -254,3 +254,36 @@ def test_interpolate_multi_spatial_matches_single(rng):
             I.warp_blend_fast(jnp.asarray(a), jnp.asarray(b), flow, t, overlap=True)
         )
         np.testing.assert_allclose(out[i].astype(int), ref.astype(int), atol=2)
+
+
+def test_interpolate_batch_sharded_refined(rng, monkeypatch):
+    """dp flow_soft_ref: each chip refines its shard's mids with the
+    raw-domain serving graph. Must match the single-device composition."""
+    from nu_scaler_tpu.models import interp_refine as ir
+    from nu_scaler_tpu.ops import interpolate as I
+    import jax.numpy as jnp
+
+    model, params = ir.make_model(features=16, blocks=1)
+    monkeypatch.setattr(ir, "load_checkpoint", lambda: (params, 0))
+    monkeypatch.setattr(ir, "make_model", lambda features=128, blocks=1: (model, params))
+    ir.get_refine_graph.cache_clear()
+    ir.get_refine_phase_graph.cache_clear()
+
+    m = pmesh.make_mesh()
+    n = m.devices.size
+    pa = rng.integers(0, 256, (n, 32, 64, 4), np.uint8)
+    pb = np.roll(pa, 3, axis=2)
+    out = np.asarray(
+        pmesh.interpolate_batch_sharded(pa, pb, 0.5, "flow_soft_ref", m, levels=2)
+    )
+    assert out.shape == pa.shape
+    ref_fn = ir.get_refine_graph(32, 64)
+    for i in range(n):
+        a, b = jnp.asarray(pa[i]), jnp.asarray(pb[i])
+        flow = I.compute_flow_fast(a, b, levels=2)
+        mid = I.warp_blend_fast(a, b, flow, 0.5, overlap=True)
+        want = np.asarray(ref_fn(a, b, mid))
+        np.testing.assert_allclose(out[i].astype(int), want.astype(int), atol=2)
+
+    ir.get_refine_graph.cache_clear()
+    ir.get_refine_phase_graph.cache_clear()
