@@ -17,6 +17,12 @@ Route map (reference file:line in handlers):
   POST /api/v1/feedback/bug-reports     FeedbackController.storeBugReport
   POST /api/v1/feedback/hardware-surveys FeedbackController.storeHardwareSurvey
   POST /api/v1/benchmarks               (engine tie-in: bench.py JSON line)
+  GET/POST /api/v1/webhooks      [auth] WebhookController.index/store
+  GET/PUT/DELETE /api/v1/webhooks/{id} [auth] WebhookController.show/update/destroy
+  GET  /api/v1/webhooks/{id}/logs [auth] WebhookController.logs
+  POST /api/v1/webhooks/{id}/regenerate-secret [auth]
+  POST /api/v1/webhooks/{id}/test [auth] WebhookController.test (ping event)
+  POST /api/v1/webhooks/logs/{id}/retry [auth] WebhookController.retry
   GET  /api/admin/metrics/dashboard [admin] AdminMetricsController.dashboard
   GET  /api/admin/{reviews,bug-reports,hardware-surveys,benchmarks} [admin]
   GET  /api/admin/users          [admin] UserManagementController.index
@@ -27,8 +33,10 @@ from __future__ import annotations
 
 import json
 import re
+import time
 from typing import Callable, Optional
 
+from nu_scaler_web import webhooks as wh
 from nu_scaler_web.store import Store
 
 VERSION = "0.3.0"
@@ -82,9 +90,11 @@ def _require(d: dict, field: str, typ, *, max_len: int = 0, choices=None,
 class WebApp:
     """The WSGI callable. One instance per Store."""
 
-    def __init__(self, store: Optional[Store] = None, wheel_dir: str = "dist"):
+    def __init__(self, store: Optional[Store] = None, wheel_dir: str = "dist",
+                 webhook_transport=None):
         self.store = store or Store()
         self.wheel_dir = wheel_dir
+        self.webhooks = wh.WebhookService(self.store, transport=webhook_transport)
         # method, compiled path regex, handler, auth: None|'user'|'admin'
         self.routes: list[tuple[str, re.Pattern, Callable, Optional[str]]] = [
             ("POST", r"/api/v1/auth/register", self.register, None),
@@ -99,6 +109,16 @@ class WebApp:
             ("POST", r"/api/v1/feedback/bug-reports", self.store_bug_report, None),
             ("POST", r"/api/v1/feedback/hardware-surveys", self.store_hardware_survey, None),
             ("POST", r"/api/v1/benchmarks", self.store_benchmark, None),
+            ("GET", r"/api/v1/webhooks", self.webhooks_index, "user"),
+            ("POST", r"/api/v1/webhooks", self.webhooks_store, "user"),
+            ("POST", r"/api/v1/webhooks/logs/(?P<lid>\d+)/retry", self.webhook_retry, "user"),
+            ("GET", r"/api/v1/webhooks/(?P<wid>\d+)", self.webhooks_show, "user"),
+            ("PUT", r"/api/v1/webhooks/(?P<wid>\d+)", self.webhooks_update, "user"),
+            ("DELETE", r"/api/v1/webhooks/(?P<wid>\d+)", self.webhooks_destroy, "user"),
+            ("GET", r"/api/v1/webhooks/(?P<wid>\d+)/logs", self.webhook_logs, "user"),
+            ("POST", r"/api/v1/webhooks/(?P<wid>\d+)/regenerate-secret",
+             self.webhook_regenerate_secret, "user"),
+            ("POST", r"/api/v1/webhooks/(?P<wid>\d+)/test", self.webhook_test, "user"),
             ("GET", r"/api/admin/metrics/dashboard", self.admin_dashboard, "admin"),
             ("GET", r"/api/admin/reviews", lambda req, **kw: self._admin_list("reviews"), "admin"),
             ("GET", r"/api/admin/bug-reports", lambda req, **kw: self._admin_list("bug_reports"), "admin"),
@@ -217,6 +237,9 @@ class WebApp:
             raise _Http(422, {"message": "Validation failed",
                               "errors": {"email": ["The email has already been taken."]}})
         token = self.store.issue_token(user["id"])
+        self.webhooks.dispatch_event(
+            "user.registered",
+            {"id": user["id"], "name": user["name"], "email": user["email"]})
         return 201, {"message": "Registration successful",
                      "user": self._public_user(user), "token": token}
 
@@ -275,6 +298,8 @@ class WebApp:
             "email": _require(d, "email", str, max_len=255, required=False),
         }
         row = self.store.add_review(out, req["user"]["id"] if req["user"] else None)
+        self.webhooks.dispatch_event(
+            "feedback.review.created", wh.WebhookService.feedback_payload(row, "review"))
         return 201, {"message": "Review submitted successfully", "data": row}
 
     def store_bug_report(self, req, **kw):
@@ -292,6 +317,8 @@ class WebApp:
         _require(out["system_info"], "os", str, max_len=255)
         _require(out["system_info"], "app_version", str, max_len=50)
         row = self.store.add_bug_report(out, req["user"]["id"] if req["user"] else None)
+        self.webhooks.dispatch_event(
+            "feedback.bug.created", wh.WebhookService.feedback_payload(row, "bug-report"))
         return 201, {"message": "Bug report submitted successfully", "data": row}
 
     def store_hardware_survey(self, req, **kw):
@@ -308,6 +335,9 @@ class WebApp:
                                         max_len=1000, required=False),
         }
         row = self.store.add_hardware_survey(out, req["user"]["id"] if req["user"] else None)
+        self.webhooks.dispatch_event(
+            "feedback.hardware.created",
+            wh.WebhookService.feedback_payload(row, "hardware-survey"))
         return 201, {"message": "Hardware survey submitted successfully", "data": row}
 
     def store_benchmark(self, req, **kw):
@@ -320,6 +350,121 @@ class WebApp:
         out["unit"] = _require(d, "unit", str, max_len=50)
         row = self.store.add_benchmark_report(out, req["user"]["id"] if req["user"] else None)
         return 201, {"message": "Benchmark report submitted successfully", "data": row}
+
+    # -- webhooks (WebhookController.php; rules StoreWebhookRequest.php) -----
+
+    @staticmethod
+    def _public_webhook(w: dict) -> dict:
+        # the secret is $hidden on the model (Webhook.php:48-50) — only
+        # regenerate-secret ever returns it
+        return {k: v for k, v in w.items() if k != "secret"}
+
+    def _validate_webhook(self, d: dict, *, partial: bool) -> dict:
+        """Store/UpdateWebhookRequest rules; `partial` = the update form's
+        'sometimes' modifier (validate only the provided fields)."""
+        out = {}
+        if not partial or "name" in d:
+            out["name"] = _require(d, "name", str, max_len=255)
+        if not partial or "url" in d:
+            url = _require(d, "url", str, max_len=1000)
+            from urllib.parse import urlparse
+            p = urlparse(url)
+            if p.scheme not in ("http", "https") or not p.netloc:
+                raise _Http(422, {"message": "Validation failed",
+                                  "errors": {"url": ["The url must be a valid URL."]}})
+            out["url"] = url
+        if "description" in d:
+            out["description"] = _require(d, "description", str,
+                                           max_len=1000, required=False)
+        if not partial or "events" in d:
+            events = _require(d, "events", list)
+            if not events:
+                raise _Http(422, {"message": "Validation failed",
+                                  "errors": {"events": ["The events field is required."]}})
+            for e in events:
+                if not isinstance(e, str) or e not in wh.EVENTS:
+                    raise _Http(422, {"message": "Validation failed",
+                                      "errors": {"events": ["The selected events is invalid."]}})
+            out["events"] = events
+        if "headers" in d and d["headers"] is not None:
+            headers = _require(d, "headers", dict)
+            for k, v in headers.items():
+                if not isinstance(v, str):
+                    raise _Http(422, {"message": "Validation failed",
+                                      "errors": {"headers": ["The headers values must be strings."]}})
+            out["headers"] = headers
+        if partial and "is_active" in d:
+            out["is_active"] = bool(_require(d, "is_active", (bool, int)))
+        return out
+
+    def _own_webhook(self, req, wid: str) -> dict:
+        """404 on unknown id, 403 on another user's hook
+        (WebhookController.php:79-81 ownership checks)."""
+        w = self.store.webhook_by_id(int(wid))
+        if w is None:
+            raise _Http(404, {"message": "Webhook not found"})
+        if w["user_id"] != req["user"]["id"]:
+            raise _Http(403, {"message": "Forbidden"})
+        return w
+
+    def webhooks_index(self, req, **kw):
+        rows = self.store.webhooks_for_user(req["user"]["id"])
+        return 200, {"message": "Webhooks fetched successfully",
+                     "data": [self._public_webhook(w) for w in rows]}
+
+    def webhooks_store(self, req, **kw):
+        d = self._validate_webhook(req["body"], partial=False)
+        d["secret"] = wh.generate_secret()  # WebhookService::create default
+        row = self.store.add_webhook(d, req["user"]["id"])
+        return 201, {"message": "Webhook created successfully",
+                     "data": self._public_webhook(row)}
+
+    def webhooks_show(self, req, wid: str = "", **kw):
+        return 200, {"message": "Webhook fetched successfully",
+                     "data": self._public_webhook(self._own_webhook(req, wid))}
+
+    def webhooks_update(self, req, wid: str = "", **kw):
+        w = self._own_webhook(req, wid)
+        fields = self._validate_webhook(req["body"], partial=True)
+        row = self.store.update_webhook(w["id"], fields)
+        return 200, {"message": "Webhook updated successfully",
+                     "data": self._public_webhook(row)}
+
+    def webhooks_destroy(self, req, wid: str = "", **kw):
+        w = self._own_webhook(req, wid)
+        self.store.delete_webhook(w["id"])
+        return 200, {"message": "Webhook deleted successfully"}
+
+    def webhook_logs(self, req, wid: str = "", **kw):
+        w = self._own_webhook(req, wid)
+        return 200, {"data": self.store.webhook_logs(w["id"])}
+
+    def webhook_regenerate_secret(self, req, wid: str = "", **kw):
+        w = self._own_webhook(req, wid)
+        secret = wh.generate_secret()
+        self.store.update_webhook(w["id"], {"secret": secret})
+        return 200, {"message": "Webhook secret regenerated successfully",
+                     "data": {"secret": secret}}
+
+    def webhook_test(self, req, wid: str = "", **kw):
+        w = self._own_webhook(req, wid)
+        ok = self.webhooks.send(w, "ping", {
+            "message": "This is a test ping from Nu Scaler",
+            "timestamp": time.time(),
+        })
+        return 200, {"message": "Webhook test sent successfully" if ok
+                     else "Webhook test failed", "success": ok}
+
+    def webhook_retry(self, req, lid: str = "", **kw):
+        log = self.store.webhook_log_by_id(int(lid))
+        if log is None:
+            raise _Http(404, {"message": "Webhook log not found"})
+        w = self.store.webhook_by_id(log["webhook_id"])
+        if w is None or w["user_id"] != req["user"]["id"]:
+            raise _Http(403, {"message": "Forbidden"})
+        ok = self.webhooks.retry(log)
+        return 200, {"message": "Webhook delivery retried successfully" if ok
+                     else "Webhook retry failed", "success": ok}
 
     # -- stats / admin (AdminMetricsController.php:41-70) -------------------
 

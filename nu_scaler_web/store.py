@@ -78,6 +78,33 @@ CREATE TABLE IF NOT EXISTS benchmark_reports (
     user_id INTEGER,
     created_at REAL NOT NULL
 );
+CREATE TABLE IF NOT EXISTS webhooks (
+    -- migrations/2023_07_15_000000_create_webhooks_table.php
+    id INTEGER PRIMARY KEY AUTOINCREMENT,
+    name TEXT NOT NULL,
+    url TEXT NOT NULL,
+    description TEXT,
+    is_active INTEGER NOT NULL DEFAULT 1,
+    events TEXT NOT NULL,        -- JSON array of event names
+    secret TEXT NOT NULL,
+    headers TEXT,                -- JSON object of extra delivery headers
+    last_triggered_at REAL,
+    fails_count INTEGER NOT NULL DEFAULT 0,
+    user_id INTEGER NOT NULL REFERENCES users(id),
+    created_at REAL NOT NULL
+);
+CREATE TABLE IF NOT EXISTS webhook_logs (
+    -- migrations/2023_07_15_000001_create_webhook_logs_table.php
+    id INTEGER PRIMARY KEY AUTOINCREMENT,
+    webhook_id INTEGER NOT NULL REFERENCES webhooks(id),
+    event_type TEXT NOT NULL,
+    payload TEXT NOT NULL,       -- JSON
+    status_code INTEGER,
+    response TEXT,
+    error TEXT,
+    success INTEGER NOT NULL DEFAULT 0,
+    created_at REAL NOT NULL
+);
 """
 
 
@@ -208,6 +235,128 @@ class Store:
             (platform, user_id, time.time()),
         )
 
+    # -- webhooks (Models/Webhook.php, Models/WebhookLog.php) ----------------
+
+    @staticmethod
+    def _webhook_out(row) -> dict:
+        out = dict(row)
+        out["events"] = json.loads(out["events"])
+        out["headers"] = json.loads(out["headers"]) if out["headers"] else None
+        out["is_active"] = bool(out["is_active"])
+        return out
+
+    def add_webhook(self, d: dict, user_id: int) -> dict:
+        cur = self._exec(
+            "INSERT INTO webhooks (name, url, description, is_active, events,"
+            " secret, headers, fails_count, user_id, created_at)"
+            " VALUES (?,?,?,?,?,?,?,0,?,?)",
+            (
+                d["name"], d["url"], d.get("description"),
+                int(d.get("is_active", True)), json.dumps(d["events"]),
+                d["secret"],
+                json.dumps(d["headers"]) if d.get("headers") else None,
+                user_id, time.time(),
+            ),
+        )
+        return self.webhook_by_id(cur.lastrowid)
+
+    def webhook_by_id(self, wid: int) -> Optional[dict]:
+        row = self._exec("SELECT * FROM webhooks WHERE id=?", (wid,)).fetchone()
+        return self._webhook_out(row) if row else None
+
+    def webhooks_for_user(self, user_id: int) -> list[dict]:
+        rs = self._exec(
+            "SELECT * FROM webhooks WHERE user_id=? ORDER BY id DESC", (user_id,)
+        ).fetchall()
+        return [self._webhook_out(r) for r in rs]
+
+    def active_webhooks(self) -> list[dict]:
+        rs = self._exec(
+            "SELECT * FROM webhooks WHERE is_active=1 ORDER BY id"
+        ).fetchall()
+        return [self._webhook_out(r) for r in rs]
+
+    def update_webhook(self, wid: int, fields: dict) -> Optional[dict]:
+        allowed = {
+            "name", "url", "description", "is_active", "events", "secret",
+            "headers", "last_triggered_at", "fails_count",
+        }
+        sets, vals = [], []
+        for k, v in fields.items():
+            assert k in allowed, k
+            if k in ("events", "headers") and v is not None:
+                v = json.dumps(v)
+            if k == "is_active":
+                v = int(v)
+            sets.append(f"{k}=?")
+            vals.append(v)
+        if sets:
+            self._exec(
+                f"UPDATE webhooks SET {', '.join(sets)} WHERE id=?",
+                (*vals, wid),
+            )
+        return self.webhook_by_id(wid)
+
+    def delete_webhook(self, wid: int) -> None:
+        # the reference migration cascades logs with their webhook
+        self._exec("DELETE FROM webhook_logs WHERE webhook_id=?", (wid,))
+        self._exec("DELETE FROM webhooks WHERE id=?", (wid,))
+
+    def mark_webhook_triggered(self, wid: int) -> None:
+        """Webhook::markAsTriggered (Webhook.php:96-102)."""
+        self._exec(
+            "UPDATE webhooks SET last_triggered_at=?, fails_count=0 WHERE id=?",
+            (time.time(), wid),
+        )
+
+    def increment_webhook_fail(self, wid: int) -> None:
+        """Webhook::incrementFailCount (Webhook.php:108-116): deactivate at 10."""
+        self._exec(
+            "UPDATE webhooks SET fails_count=fails_count+1,"
+            " is_active=CASE WHEN fails_count+1>=10 THEN 0 ELSE is_active END"
+            " WHERE id=?",
+            (wid,),
+        )
+
+    @staticmethod
+    def _webhook_log_out(row) -> dict:
+        out = dict(row)
+        out["payload"] = json.loads(out["payload"])
+        out["success"] = bool(out["success"])
+        return out
+
+    def add_webhook_log(self, webhook_id: int, event_type: str, payload: dict) -> dict:
+        cur = self._exec(
+            "INSERT INTO webhook_logs (webhook_id, event_type, payload,"
+            " success, created_at) VALUES (?,?,?,0,?)",
+            (webhook_id, event_type, json.dumps(payload), time.time()),
+        )
+        return self.webhook_log_by_id(cur.lastrowid)
+
+    def webhook_log_by_id(self, lid: int) -> Optional[dict]:
+        row = self._exec("SELECT * FROM webhook_logs WHERE id=?", (lid,)).fetchone()
+        return self._webhook_log_out(row) if row else None
+
+    def webhook_logs(self, webhook_id: int, limit: int = 100) -> list[dict]:
+        rs = self._exec(
+            "SELECT * FROM webhook_logs WHERE webhook_id=?"
+            " ORDER BY id DESC LIMIT ?",
+            (webhook_id, limit),
+        ).fetchall()
+        return [self._webhook_log_out(r) for r in rs]
+
+    def update_webhook_log(self, lid: int, fields: dict) -> None:
+        allowed = {"status_code", "response", "error", "success"}
+        sets, vals = [], []
+        for k, v in fields.items():
+            assert k in allowed, k
+            sets.append(f"{k}=?")
+            vals.append(v)
+        self._exec(
+            f"UPDATE webhook_logs SET {', '.join(sets)} WHERE id=?",
+            (*vals, lid),
+        )
+
     # -- queries ------------------------------------------------------------
 
     def row(self, table: str, rid: int) -> dict:
@@ -240,5 +389,5 @@ class Store:
 
 _TABLES = {
     "users", "tokens", "reviews", "bug_reports", "hardware_surveys",
-    "download_logs", "benchmark_reports",
+    "download_logs", "benchmark_reports", "webhooks", "webhook_logs",
 }
