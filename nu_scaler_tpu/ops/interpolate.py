@@ -925,6 +925,31 @@ def compute_flow(
     return flow
 
 
+# -- learned-refinement serving policy ---------------------------------------
+#
+# The refinement net's gain is a property of the CHECKPOINT's training
+# distribution, not of the architecture: the native-only 40k interp_ref4
+# LOST at 144p (−0.16 dB vs blend), but the adopted distribution-diverse
+# 64k checkpoint (factors 2+3, native+down4k sources) gains at every
+# measured serving height (Δ vs flow_soft, interp_quality_eval.py, r3s6:
+# 144p +0.72 dB, 180p +2.08, 216p +1.80, 360p +3.36, 720p +1.44,
+# 1080p +1.08) — so the production floor is 0. REFINE_MIN_ROWS stays as
+# the policy knob: if a future checkpoint regresses at the low end, set
+# the floor to its measured validity band and production modes silently
+# serve plain flow_soft below it (the same graceful degradation as a
+# missing checkpoint). interp_quality_eval bypasses the policy on purpose
+# (it MEASURES it).
+REFINE_MIN_ROWS = 0
+
+
+def refine_serves(height: int, width: int) -> bool:
+    """True when the learned refinement tier serves at this frame size:
+    dims must tile (stride-2 s2d over the /2 warp grid) and the height must
+    be inside the served checkpoint's measured validity band
+    (REFINE_MIN_ROWS; 0 for the adopted 64k checkpoint — see above)."""
+    return height % 4 == 0 and width % 4 == 0 and height >= REFINE_MIN_ROWS
+
+
 @functools.lru_cache(maxsize=64)
 def make_interpolator(
     height: int,
@@ -959,11 +984,12 @@ def make_interpolator(
         # flow_soft + the learned per-pixel refinement net
         # (models/interp_refine.py — the occlusion-selection quality the
         # handcrafted probes couldn't reach), inlined into the same jit
-        # graph. Falls back to plain flow_soft when no checkpoint exists
-        # or dims don't tile. Trained at t=0.5 (the 2× live path).
+        # graph. Falls back to plain flow_soft when no checkpoint exists,
+        # dims don't tile, or the frame is below the net's serving band
+        # (refine_serves). Trained at t=0.5 (the 2× live path).
         from nu_scaler_tpu.models.interp_refine import get_refine_graph
 
-        _ref = get_refine_graph(height, width) if (height % 4 == 0 and width % 4 == 0) else None
+        _ref = get_refine_graph(height, width) if refine_serves(height, width) else None
 
         def fn(a, b, t, _ref=_ref):
             mid = soft_interp_fast(a, b, t, tile=warp_tile)
@@ -1011,8 +1037,8 @@ def make_refined_mid_upscaler(
     )
     from nu_scaler_tpu.ops import resample
 
-    tiles = in_h % 4 == 0 and in_w % 4 == 0
-    phase_fn = get_refine_phase_graph(in_h, in_w) if tiles else None
+    serves = refine_serves(in_h, in_w)
+    phase_fn = get_refine_phase_graph(in_h, in_w) if serves else None
     ph_up = (
         resample.make_phase_resampler(in_h, in_w, out_h, out_w, 4, algorithm)
         if phase_fn is not None
@@ -1027,7 +1053,7 @@ def make_refined_mid_upscaler(
         return jax.jit(fn)
 
     up = resample.make_resampler(in_h, in_w, out_h, out_w, algorithm)
-    ref = get_refine_graph(in_h, in_w) if tiles else None
+    ref = get_refine_graph(in_h, in_w) if serves else None
 
     def fn(a, b, t, _ref=ref):
         mid = soft_interp_fast(a, b, t, tile=warp_tile)
@@ -1060,8 +1086,8 @@ def make_refined_multi_upscaler(
     from nu_scaler_tpu.ops import resample
 
     ts = tuple(float(t) for t in ts)
-    tiles = in_h % 4 == 0 and in_w % 4 == 0
-    phase_fn = get_refine_phase_graph(in_h, in_w) if tiles else None
+    serves = refine_serves(in_h, in_w)
+    phase_fn = get_refine_phase_graph(in_h, in_w) if serves else None
     ph_up = (
         resample.make_phase_resampler(in_h, in_w, out_h, out_w, 4, algorithm)
         if phase_fn is not None
@@ -1079,7 +1105,7 @@ def make_refined_multi_upscaler(
         return jax.jit(fn)
 
     up = resample.make_resampler(in_h, in_w, out_h, out_w, algorithm)
-    ref = get_refine_graph(in_h, in_w) if tiles else None
+    ref = get_refine_graph(in_h, in_w) if serves else None
 
     def fn(a, b, _ref=ref):
         mids = soft_interp_multi(a, b, ts, tile=warp_tile)
@@ -1121,7 +1147,7 @@ def make_multi_interpolator(
     elif mode == "flow_soft_ref":
         from nu_scaler_tpu.models.interp_refine import get_refine_graph
 
-        _ref = get_refine_graph(height, width) if (height % 4 == 0 and width % 4 == 0) else None
+        _ref = get_refine_graph(height, width) if refine_serves(height, width) else None
 
         def fn(a, b, _ref=_ref):
             mids = soft_interp_multi(a, b, ts, tile=warp_tile)

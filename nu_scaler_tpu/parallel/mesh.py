@@ -164,12 +164,14 @@ def interpolate_batch_sharded(
         from nu_scaler_tpu.models.interp_refine import get_refine_graph
 
         h_, w_ = int(pairs_a.shape[1]), int(pairs_a.shape[2])
-        if h_ % 4 == 0 and w_ % 4 == 0:
+        if _interp.refine_serves(h_, w_):
             refine = get_refine_graph(h_, w_)
         if refine is None:
             raise ValueError(
-                "flow_soft_ref needs a trained interp_ref4 checkpoint and "
-                "H/W divisible by the net stride"
+                "flow_soft_ref needs a trained interp_ref4 checkpoint, H/W "
+                "divisible by the net stride, and height inside the net's "
+                f"serving band (>= {_interp.REFINE_MIN_ROWS} rows — the "
+                "1080p-trained net loses below it, BASELINE.md)"
             )
 
     def one(a, b):

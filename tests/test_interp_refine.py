@@ -153,6 +153,7 @@ def test_flow_soft_ref_mode_applies_refinement(rng, monkeypatch):
     model, params = _tiny_model()
     monkeypatch.setattr(ir, "load_checkpoint", lambda: (params, 0))
     monkeypatch.setattr(ir, "make_model", lambda features=128, blocks=1: (model, params))
+    monkeypatch.setattr(I, "REFINE_MIN_ROWS", 0)  # tiny CPU-mesh frames
     ir.get_refine_graph.cache_clear()
     ir.get_refine_phase_graph.cache_clear()
     I.make_interpolator.cache_clear()
@@ -164,6 +165,47 @@ def test_flow_soft_ref_mode_applies_refinement(rng, monkeypatch):
     assert out.shape == ref.shape
     assert not np.array_equal(out[..., :3], ref[..., :3])
     np.testing.assert_array_equal(out[..., 3], ref[..., 3])  # alpha untouched
+
+    I.make_interpolator.cache_clear()
+    ir.get_refine_graph.cache_clear()
+    ir.get_refine_phase_graph.cache_clear()
+
+
+def test_flow_soft_ref_serving_band_guard(rng, monkeypatch):
+    """refine_serves() is the serving policy: with REFINE_MIN_ROWS raised
+    (the knob for a checkpoint whose gain regresses below a validity band —
+    the native-only 40k lost at 144p; the adopted 64k gains everywhere so
+    the production floor is 0) the mode must serve plain flow_soft below
+    the floor even WITH a checkpoint, and the dp mesh path must refuse."""
+    from nu_scaler_tpu.ops import interpolate as I
+    from nu_scaler_tpu.parallel import mesh as pmesh
+
+    model, params = _tiny_model()
+    monkeypatch.setattr(ir, "load_checkpoint", lambda: (params, 0))
+    monkeypatch.setattr(ir, "make_model", lambda features=128, blocks=1: (model, params))
+    monkeypatch.setattr(I, "REFINE_MIN_ROWS", 64)
+    ir.get_refine_graph.cache_clear()
+    ir.get_refine_phase_graph.cache_clear()
+    I.make_interpolator.cache_clear()
+
+    assert not I.refine_serves(16, 256)  # below the floor
+    assert I.refine_serves(64, 256)
+    assert not I.refine_serves(66, 256)  # must tile by 4
+
+    a = jnp.asarray(rng.integers(0, 256, (16, 256, 4), np.uint8))
+    b = jnp.asarray(np.roll(np.asarray(a), 4, axis=1))
+    ref = np.asarray(I.make_interpolator(16, 256, "flow_soft")(a, b, 0.5))
+    out = np.asarray(I.make_interpolator(16, 256, "flow_soft_ref")(a, b, 0.5))
+    np.testing.assert_array_equal(out, ref)
+
+    # explicit dp request below the floor is an explicit error
+    import pytest as _pytest
+
+    m = pmesh.make_mesh()
+    n = m.devices.size
+    pa = rng.integers(0, 256, (n, 16, 256, 4), np.uint8)
+    with _pytest.raises(ValueError, match="serving band"):
+        pmesh.interpolate_batch_sharded(pa, pa, 0.5, "flow_soft_ref", m)
 
     I.make_interpolator.cache_clear()
     ir.get_refine_graph.cache_clear()
@@ -215,6 +257,7 @@ def test_stage_timings_flow_soft_ref(rng, monkeypatch):
     model, params = _tiny_model()
     monkeypatch.setattr(ir, "load_checkpoint", lambda: (params, 0))
     monkeypatch.setattr(ir, "make_model", lambda features=128, blocks=1: (model, params))
+    monkeypatch.setattr(I, "REFINE_MIN_ROWS", 0)  # tiny CPU-mesh frames
     ir.get_refine_graph.cache_clear()
     ir.get_refine_phase_graph.cache_clear()
     I.make_interpolator.cache_clear()
@@ -241,6 +284,7 @@ def test_refined_mid_upscaler_phase_path(rng, monkeypatch):
     model, params = _tiny_model()
     monkeypatch.setattr(ir, "load_checkpoint", lambda: (params, 0))
     monkeypatch.setattr(ir, "make_model", lambda features=128, blocks=1: (model, params))
+    monkeypatch.setattr(I, "REFINE_MIN_ROWS", 0)  # tiny CPU-mesh frames
     ir.get_refine_graph.cache_clear()
     ir.get_refine_phase_graph.cache_clear()
     I.make_refined_mid_upscaler.cache_clear()
@@ -298,6 +342,7 @@ def test_refined_multi_upscaler_matches_per_mid_composition(rng, monkeypatch):
     model, params = _tiny_model()
     monkeypatch.setattr(ir, "load_checkpoint", lambda: (params, 0))
     monkeypatch.setattr(ir, "make_model", lambda features=128, blocks=1: (model, params))
+    monkeypatch.setattr(I, "REFINE_MIN_ROWS", 0)  # tiny CPU-mesh frames
     ir.get_refine_graph.cache_clear()
     ir.get_refine_phase_graph.cache_clear()
     I.make_refined_multi_upscaler.cache_clear()

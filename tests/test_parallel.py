@@ -266,6 +266,7 @@ def test_interpolate_batch_sharded_refined(rng, monkeypatch):
     model, params = ir.make_model(features=16, blocks=1)
     monkeypatch.setattr(ir, "load_checkpoint", lambda: (params, 0))
     monkeypatch.setattr(ir, "make_model", lambda features=128, blocks=1: (model, params))
+    monkeypatch.setattr(I, "REFINE_MIN_ROWS", 0)  # tiny CPU-mesh frames
     ir.get_refine_graph.cache_clear()
     ir.get_refine_phase_graph.cache_clear()
 

@@ -58,17 +58,21 @@ def main() -> None:
         if mode == "flow_soft":
             return I.soft_interp_fast(a, b, t)
         if mode == "flow_soft_ref":
-            return I.make_interpolator(a.shape[0], a.shape[1], "flow_soft_ref")(
-                a, b, t
-            )
+            # bypass the serving-resolution policy (I.refine_serves) — this
+            # tool MEASURES the policy, so it must score the net even below
+            # REFINE_MIN_ROWS where production falls back to flow_soft
+            mid = I.soft_interp_fast(a, b, t)
+            return _refine_graph(a, b, mid)
         base = {"flow": 0, "flow_half": 1}[mode]
         flow = I.compute_flow_fast(a, b, base_level=base)
         return I.warp_blend_fast(a, b, flow, t)
 
     modes = ["blend", "flow", "flow_half", "flow_soft"]
-    from nu_scaler_tpu.models.interp_refine import refine_available
+    from nu_scaler_tpu.models.interp_refine import get_refine_graph, refine_available
 
-    if refine_available():
+    _refine_graph = None
+    if refine_available() and args.height % 4 == 0 and args.width % 4 == 0:
+        _refine_graph = jax.jit(get_refine_graph(args.height, args.width))
         modes.append("flow_soft_ref")
     scores: dict = {m: [] for m in modes}
     fac = args.factor
