@@ -91,10 +91,14 @@ class WebApp:
     """The WSGI callable. One instance per Store."""
 
     def __init__(self, store: Optional[Store] = None, wheel_dir: str = "dist",
-                 webhook_transport=None):
+                 webhook_transport=None, webhook_async: bool = True,
+                 webhook_allow_private: bool = False):
         self.store = store or Store()
         self.wheel_dir = wheel_dir
-        self.webhooks = wh.WebhookService(self.store, transport=webhook_transport)
+        self.webhooks = wh.WebhookService(
+            self.store, transport=webhook_transport,
+            async_dispatch=webhook_async, allow_private=webhook_allow_private,
+        )
         # method, compiled path regex, handler, auth: None|'user'|'admin'
         self.routes: list[tuple[str, re.Pattern, Callable, Optional[str]]] = [
             ("POST", r"/api/v1/auth/register", self.register, None),
@@ -237,9 +241,12 @@ class WebApp:
             raise _Http(422, {"message": "Validation failed",
                               "errors": {"email": ["The email has already been taken."]}})
         token = self.store.issue_token(user["id"])
-        self.webhooks.dispatch_event(
-            "user.registered",
-            {"id": user["id"], "name": user["name"], "email": user["email"]})
+        # NO webhook dispatch here, deliberately: the reference never delivers
+        # a user.registered event (ProcessWebhooks is commented out of
+        # EventServiceProvider.php:32 and has no user.registered payload
+        # builder), and fanning a new registrant's name/email out to other
+        # users' hooks would leak PII. The event name stays subscribable for
+        # StoreWebhookRequest.php:21 parity; it just never fires.
         return 201, {"message": "Registration successful",
                      "user": self._public_user(user), "token": token}
 
@@ -386,13 +393,22 @@ class WebApp:
                     raise _Http(422, {"message": "Validation failed",
                                       "errors": {"events": ["The selected events is invalid."]}})
             out["events"] = events
-        if "headers" in d and d["headers"] is not None:
-            headers = _require(d, "headers", dict)
-            for k, v in headers.items():
-                if not isinstance(v, str):
-                    raise _Http(422, {"message": "Validation failed",
-                                      "errors": {"headers": ["The headers values must be strings."]}})
-            out["headers"] = headers
+        if "headers" in d:
+            if d["headers"] is None:
+                # 'nullable|array' — explicit null clears the stored headers
+                out["headers"] = None
+            else:
+                headers = _require(d, "headers", dict)
+                for k, v in headers.items():
+                    if not isinstance(v, str):
+                        raise _Http(422, {"message": "Validation failed",
+                                          "errors": {"headers": ["The headers values must be strings."]}})
+                    if k.lower() in ("host", "content-length", "user-agent") or \
+                            k.lower().startswith("x-nu-scaler-"):
+                        # delivery-identity headers are not user-overridable
+                        raise _Http(422, {"message": "Validation failed",
+                                          "errors": {"headers": [f"The header {k} is reserved."]}})
+                out["headers"] = headers
         if partial and "is_active" in d:
             out["is_active"] = bool(_require(d, "is_active", (bool, int)))
         return out

@@ -22,19 +22,34 @@ Reference semantics (file:line under /root/reference/@web/server/laravel_app):
   dormant listener describes.
 
 The reference queues deliveries on a redis ``webhooks`` queue
-(``ProcessWebhooks.php:17-24``); this rebuild delivers synchronously through
-an injectable ``transport`` callable (urllib by default) so the WSGI app
-stays dependency-free and tests can either capture deliveries or run a real
-localhost HTTP round trip.
+(``ProcessWebhooks.php:17-24``); this rebuild queues event fan-out on a
+single daemon worker thread (``dispatch_event``) so a slow hook endpoint
+never stalls a public request handler, while the explicit ``/test`` and
+``/retry`` endpoints stay synchronous (they report success inline, like the
+reference's controller actions). The ``transport`` callable (urllib by
+default) is injectable so tests can capture deliveries or run a real
+localhost HTTP round trip; ``async_dispatch=False`` makes ``dispatch_event``
+synchronous for deterministic tests.
+
+Delivery destinations are SSRF-guarded: every resolved address of the hook
+URL's host must be globally routable (no loopback/RFC1918/link-local/
+metadata targets) unless ``allow_private`` is set — the reference's
+validation is scheme+netloc only, but its delivery path was dormant; here it
+is live, so the server's network position needs protecting.
 """
 
 from __future__ import annotations
 
 import hashlib
 import hmac
+import ipaddress
 import json
+import queue
 import secrets
+import socket
+import threading
 import urllib.error
+import urllib.parse
 import urllib.request
 from typing import Callable, Optional
 
@@ -65,6 +80,28 @@ def sign(secret: str, payload_json: str) -> str:
     return hmac.new(secret.encode(), payload_json.encode(), hashlib.sha256).hexdigest()
 
 
+def blocked_destination(url: str) -> Optional[str]:
+    """Return a reason string when `url` must not be delivered to (loopback,
+    private, link-local, or otherwise non-global address — including every
+    resolved A/AAAA record, so a public name pointing at 169.254.169.254 is
+    caught), or None when it is deliverable."""
+    host = urllib.parse.urlparse(url).hostname
+    if not host:
+        return "no host"
+    try:
+        addrs = {info[4][0] for info in socket.getaddrinfo(host, None)}
+    except OSError as e:
+        return f"unresolvable host: {e}"
+    for a in addrs:
+        try:
+            ip = ipaddress.ip_address(a.split("%")[0])
+        except ValueError:
+            return f"unparseable address {a!r}"
+        if not ip.is_global:
+            return f"non-global address {a}"
+    return None
+
+
 def urllib_transport(url: str, body: bytes, headers: dict, timeout: float):
     req = urllib.request.Request(url, data=body, headers=headers, method="POST")
     try:
@@ -92,15 +129,30 @@ class WebhookService:
     """``App\\Services\\WebhookService`` (synchronous; see module docstring)."""
 
     def __init__(self, store, transport: Optional[Transport] = None,
-                 timeout: float = TIMEOUT_S):
+                 timeout: float = TIMEOUT_S, async_dispatch: bool = True,
+                 allow_private: bool = False):
         self.store = store
         self.transport = transport or urllib_transport
         self.timeout = timeout
+        self.async_dispatch = async_dispatch
+        self.allow_private = allow_private
+        self._queue: "queue.Queue[tuple]" = queue.Queue()
+        self._worker: Optional[threading.Thread] = None
+        self._worker_lock = threading.Lock()
 
     # -- delivery (WebhookService.php:52-144) --------------------------------
 
     def send(self, webhook: dict, event: str, payload: dict) -> bool:
         log = self.store.add_webhook_log(webhook["id"], event, payload)
+        if not self.allow_private:
+            reason = blocked_destination(webhook["url"])
+            if reason is not None:
+                self.store.update_webhook_log(
+                    log["id"],
+                    {"error": f"delivery blocked: {reason}", "success": 0},
+                )
+                self.store.increment_webhook_fail(webhook["id"])
+                return False
         headers = {
             "Content-Type": "application/json",
             "User-Agent": "Nu-Scaler-Webhook/1.0",
@@ -130,14 +182,44 @@ class WebhookService:
             self.store.increment_webhook_fail(webhook["id"])
         return ok
 
-    def dispatch_event(self, event: str, payload: dict) -> int:
-        """Deliver to every active hook subscribed to ``event``
-        (WebhookService.php:29-42); returns the number of successes."""
+    def _dispatch_now(self, event: str, payload: dict) -> int:
         return sum(
             self.send(w, event, payload)
             for w in self.store.active_webhooks()
             if should_trigger_for(self.store, w, event)
         )
+
+    def _drain(self) -> None:
+        while True:
+            event, payload = self._queue.get()
+            try:
+                self._dispatch_now(event, payload)
+            except Exception:  # noqa: BLE001 — a bad hook must not kill the worker
+                pass
+            finally:
+                self._queue.task_done()
+
+    def dispatch_event(self, event: str, payload: dict) -> int:
+        """Fan an event out to every active subscribed hook
+        (WebhookService.php:29-42). Asynchronous by default — deliveries are
+        queued on one daemon worker (the redis ``webhooks`` queue role,
+        ProcessWebhooks.php:17-24) so public request handlers never block on
+        a hook endpoint; returns the number queued. With
+        ``async_dispatch=False`` delivers inline and returns successes."""
+        if not self.async_dispatch:
+            return self._dispatch_now(event, payload)
+        with self._worker_lock:
+            if self._worker is None or not self._worker.is_alive():
+                self._worker = threading.Thread(
+                    target=self._drain, name="webhook-dispatch", daemon=True
+                )
+                self._worker.start()
+        self._queue.put((event, payload))
+        return 1
+
+    def flush(self) -> None:
+        """Block until every queued dispatch has been delivered (tests)."""
+        self._queue.join()
 
     def retry(self, log: dict) -> bool:
         """Re-send a logged delivery (WebhookService.php:157-172)."""

@@ -48,7 +48,11 @@ def transport():
 
 @pytest.fixture()
 def client(transport):
-    return Client(WebApp(Store(":memory:"), webhook_transport=transport))
+    # sync dispatch + private destinations allowed: deterministic delivery
+    # assertions against the fake transport (async mode + the SSRF guard
+    # have their own tests below)
+    return Client(WebApp(Store(":memory:"), webhook_transport=transport,
+                         webhook_async=False, webhook_allow_private=True))
 
 
 @pytest.fixture()
@@ -245,13 +249,90 @@ def test_ping_and_retry(client, user_token, transport):
     assert st == 200 and d["success"] is False
 
 
-def test_user_registered_event(client, user_token, transport):
-    _create(client, events=["user.registered"])
-    client.post("/api/v1/auth/register", {
+def test_user_registered_never_dispatches(client, user_token, transport):
+    """The event name is subscribable (StoreWebhookRequest.php:21 parity) but
+    registration never fires it: the reference's ProcessWebhooks listener is
+    disabled (EventServiceProvider.php:32) and has no user.registered payload
+    builder — and delivering a new registrant's email to other users' hooks
+    would leak PII (advisor r3, high)."""
+    st, _ = _create(client, events=["user.registered"])
+    assert st == 201
+    st, d = client.post("/api/v1/auth/register", {
         "name": "New", "email": "new@example.com", "password": "secret123",
     })
-    assert transport.calls[-1]["body"]["event"] == "user.registered"
-    assert transport.calls[-1]["body"]["payload"]["email"] == "new@example.com"
+    assert st == 201
+    assert transport.calls == []
+
+
+def test_reserved_delivery_headers_rejected(client, user_token):
+    for k in ("Host", "User-Agent", "X-Nu-Scaler-Event", "content-length"):
+        st, d = _create(client, headers={k: "evil"})
+        assert st == 422, k
+        assert "reserved" in d["errors"]["headers"][0]
+
+
+def test_headers_cleared_by_explicit_null(client, user_token):
+    st, d = _create(client, headers={"X-Team": "render"})
+    wid = d["data"]["id"]
+    assert d["data"]["headers"] == {"X-Team": "render"}
+    # 'nullable|array' — null clears the stored headers (advisor r3, low)
+    st, d = client.request("PUT", f"/api/v1/webhooks/{wid}", {"headers": None})
+    assert st == 200 and d["data"]["headers"] is None
+
+
+def test_private_destinations_blocked_by_default(transport):
+    """SSRF guard (advisor r3): with the default allow_private=False, a hook
+    pointing at loopback/RFC1918/metadata addresses is never delivered — the
+    attempt is logged as a blocked failure and counts toward deactivation."""
+    c = Client(WebApp(Store(":memory:"), webhook_transport=transport,
+                      webhook_async=False))
+    st, d = c.post("/api/v1/auth/register", {
+        "name": "U", "email": "u@example.com", "password": "secret123",
+    })
+    c.token = d["token"]
+    for url in ("http://127.0.0.1:9/x", "http://10.0.0.5/x",
+                "http://169.254.169.254/latest/meta-data"):
+        st, d = c.post("/api/v1/webhooks", {
+            "name": "h", "url": url, "events": ["feedback.review.created"],
+        })
+        assert st == 201
+    c.post("/api/v1/feedback/reviews", {"rating": 5, "comment": "x"})
+    assert transport.calls == []  # nothing reached the transport
+    st, d = c.get("/api/v1/webhooks")
+    for hook in d["data"]:
+        assert hook["fails_count"] == 1
+        st2, logs = c.get(f"/api/v1/webhooks/{hook['id']}/logs")
+        assert "delivery blocked" in logs["data"][0]["error"]
+
+
+def test_async_dispatch_does_not_block_the_request(transport):
+    """Inline fan-out is queued on the worker (advisor r3, medium): a slow
+    hook endpoint must not stall an unauthenticated feedback POST."""
+    import threading as _t
+    import time as _time
+
+    release = _t.Event()
+    calls = []
+
+    def slow_transport(url, body, headers, timeout):
+        calls.append(url)
+        release.wait(5.0)
+        return 200, "ok"
+
+    c = Client(WebApp(Store(":memory:"), webhook_transport=slow_transport,
+                      webhook_allow_private=True))  # async (default)
+    st, d = c.post("/api/v1/auth/register", {
+        "name": "U", "email": "u2@example.com", "password": "secret123",
+    })
+    c.token = d["token"]
+    _create(c)
+    t0 = _time.perf_counter()
+    st, _ = c.post("/api/v1/feedback/reviews", {"rating": 4, "comment": "y"})
+    took = _time.perf_counter() - t0
+    assert st == 201 and took < 1.0  # returned while delivery is in flight
+    release.set()
+    c.app.webhooks.flush()
+    assert calls == ["https://ci.example.com/hook"]
 
 
 # -- live round trip ----------------------------------------------------------
