@@ -16,8 +16,9 @@ carry weight — the K-term accumulation collapses into VMEM:
 
 Mosaic constraint that shaped the design: dynamic HBM slices must be
 tile-aligned (8 sublanes × 128 lanes) — arbitrary per-candidate offsets
-can't be DMA'd directly (the r2 `warp_pallas.block_warp_blend` kernel only
-ever ran in CPU interpret mode and hides the same issue). So the candidate
+can't be DMA'd directly (a round-2 per-tile-DMA warp kernel hit exactly
+this: it only ever compiled in CPU interpret mode, never Mosaic, and was
+deleted as a measured dead end in round 4). So the candidate
 slabs are extracted ONCE in XLA (K dynamic_slices per frame, u8, pre-shifted
 onto the cell grid) into a stack whose per-cell windows sit at statically
 aligned offsets (row cy·th, lane cx·tw·4); the kernel then DMAs only the

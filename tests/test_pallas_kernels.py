@@ -21,22 +21,6 @@ def test_pallas_resample_matches_xla(rng, algo):
     assert psnr(out, ref) >= 60.0
 
 
-def test_pallas_block_warp_interpret(rng):
-    """The block-warp Pallas kernel in interpret mode (its compiled form is
-    blocked on Mosaic dynamic-slice support — ops/interpolate.block_warp is
-    the production path)."""
-    import jax.numpy as jnp
-
-    from nu_scaler_tpu.kernels import warp_pallas as W
-
-    a = rng.integers(0, 256, (32, 256, 4), np.uint8)
-    b = np.roll(a, 4, axis=1)
-    flow = np.tile(np.array([4.0, 0.0], np.float32), (32, 256, 1))
-    out = np.asarray(W.block_warp_blend(jnp.asarray(a), jnp.asarray(b), jnp.asarray(flow), 0.5))
-    golden = W.block_warp_blend_ref(a, b, flow, 0.5)
-    assert psnr(out, golden) >= 50.0
-
-
 def test_pallas_fused_batched_matches_single(rng):
     """Batched fused resampler (one pallas_call, batch grid dim) must match
     the single-frame kernel per frame."""
