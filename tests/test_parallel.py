@@ -161,6 +161,87 @@ def test_interpolate_frame_spatial_refined_matches_single(rng):
     assert np.any(out[..., :3] != np.asarray(mid[..., :3]))
 
 
+@pytest.mark.parametrize("mode", ["flow", "flow_soft"])
+def test_interpolate_frame_spatial_production_depth(rng, mode):
+    """sp interpolation at the PRODUCTION pyramid depth (levels=4, VERDICT
+    r3 weak #7): 8 shards of 8 rows each put the coarsest pyramid level at
+    ONE row per shard, so every blur/downsample/Horn–Schunck stencil halo
+    crosses shard boundaries — the regime levels=2 never exercised."""
+    from nu_scaler_tpu.ops import interpolate as I
+    import jax.numpy as jnp
+
+    m = pmesh.make_mesh()
+    a = rng.integers(0, 256, (64, 64, 4), np.uint8)
+    b = np.roll(a, 3, axis=1)
+    out = np.asarray(pmesh.interpolate_frame_spatial(a, b, 0.5, mode, m, levels=4))
+    assert out.shape == (64, 64, 4)
+    flow = I.compute_flow_fast(jnp.asarray(a), jnp.asarray(b), levels=4)
+    ref = np.asarray(
+        I.warp_blend_fast(
+            jnp.asarray(a), jnp.asarray(b), flow, 0.5, overlap=mode == "flow_soft"
+        )
+    )
+    np.testing.assert_allclose(out.astype(int), ref.astype(int), atol=2)
+
+
+def test_interpolate_frame_spatial_refined_production_depth(rng):
+    """sp flow_soft_ref at levels=4: the refinement net's conv halos AND the
+    deep pyramid's stencil halos cross 8-row shard boundaries in one sharded
+    program."""
+    from nu_scaler_tpu.models import interp_refine as ir
+    from nu_scaler_tpu.ops import interpolate as I
+    import jax.numpy as jnp
+
+    if not ir.refine_available():
+        pytest.skip("no interp_ref4 checkpoint")
+    m = pmesh.make_mesh()
+    a = rng.integers(0, 256, (64, 64, 4), np.uint8)
+    b = np.roll(a, 3, axis=1)
+    out = np.asarray(
+        pmesh.interpolate_frame_spatial(a, b, 0.5, "flow_soft_ref", m, levels=4)
+    )
+    assert out.shape == (64, 64, 4)
+    aj, bj = jnp.asarray(a), jnp.asarray(b)
+    flow = I.compute_flow_fast(aj, bj, levels=4)
+    mid = I.warp_blend_fast(aj, bj, flow, 0.5, overlap=True)
+    params, _ = ir.load_checkpoint()
+    model, _ = ir.make_model()
+    triple = jnp.concatenate(
+        [aj[..., :3], bj[..., :3], mid[..., :3]], axis=-1
+    ).astype(jnp.bfloat16) / jnp.asarray(255.0, jnp.bfloat16)
+    res = model.apply(params, triple[None])[0]
+    rgb = np.clip(
+        np.round(
+            np.asarray(mid[..., :3], np.float32)
+            + np.asarray(res, np.float32) * 255.0
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    ref = np.concatenate([rgb, np.asarray(mid[..., 3:])], axis=-1)
+    np.testing.assert_allclose(out.astype(int), ref.astype(int), atol=2)
+
+
+def test_interpolate_multi_spatial_production_depth(rng):
+    """sp N-factor frame generation at levels=4 (one motion solve, halos
+    across 8-row shards at every pyramid level)."""
+    from nu_scaler_tpu.ops import interpolate as I
+    import jax.numpy as jnp
+
+    m = pmesh.make_mesh()
+    a = rng.integers(0, 256, (64, 64, 4), np.uint8)
+    b = np.roll(a, 3, axis=1)
+    ts = (1.0 / 3.0, 2.0 / 3.0)
+    out = np.asarray(pmesh.interpolate_multi_spatial(a, b, ts, "flow_soft", m, levels=4))
+    assert out.shape == (2, 64, 64, 4)
+    flow = I.compute_flow_fast(jnp.asarray(a), jnp.asarray(b), levels=4)
+    for i, t in enumerate(ts):
+        ref = np.asarray(
+            I.warp_blend_fast(jnp.asarray(a), jnp.asarray(b), flow, t, overlap=True)
+        )
+        np.testing.assert_allclose(out[i].astype(int), ref.astype(int), atol=2)
+
+
 @pytest.mark.parametrize("algo", ["bilinear", "lanczos3"])
 def test_spatial_sharded_matches_single(rng, algo):
     m = pmesh.make_mesh()
