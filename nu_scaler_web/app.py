@@ -23,18 +23,35 @@ Route map (reference file:line in handlers):
   POST /api/v1/webhooks/{id}/regenerate-secret [auth]
   POST /api/v1/webhooks/{id}/test [auth] WebhookController.test (ping event)
   POST /api/v1/webhooks/logs/{id}/retry [auth] WebhookController.retry
+  GET  /api/v1/download/direct          DownloadController.downloadDirectFile
+  GET  /api/admin/session/check         AdminSessionController.check
   GET  /api/admin/metrics/dashboard [admin] AdminMetricsController.dashboard
-  GET  /api/admin/{reviews,bug-reports,hardware-surveys,benchmarks} [admin]
+  GET  /api/admin/metrics/{reviews,bug-reports,hardware-surveys} [admin]
+                                        AdminMetricsController.*Metrics
+  GET  /api/admin/metrics/reviews-distribution [admin] (bare-list response)
+  GET  /api/admin/metrics/{user-growth,feedback-trends}?period=&type= [admin]
+  GET  /api/admin/metrics/export [admin] AdminMetricsController.exportAllMetrics
+  GET  /api/admin/{reviews,bug-reports,hardware-surveys} [admin]
+       (filtered + unified-paginated), /{id} show, /export CSV
+  GET  /api/admin/benchmarks     [admin] (engine tie-in)
+  GET  /api/admin/logs{,/stats,/search,/type/{t},/file/{f}} [admin]
+  DELETE /api/admin/logs/file/{f} [admin] LogDashboardController.*
   GET  /api/admin/users          [admin] UserManagementController.index
   PATCH /api/admin/users/{id}/role [admin] UserManagementController.updateRole
+  PATCH /api/admin/users/{id}/status [admin] UserManagementController.updateStatus
 """
 
 from __future__ import annotations
 
+import base64
+import csv
+import io
 import json
+import os
 import re
 import time
 from typing import Callable, Optional
+from urllib.parse import parse_qs
 
 from nu_scaler_web import webhooks as wh
 from nu_scaler_web.store import Store
@@ -53,6 +70,15 @@ _STATUS = {
 class _Http(Exception):
     def __init__(self, status: int, body: dict):
         self.status, self.body = status, body
+
+
+class _Raw:
+    """Non-JSON handler payload (CSV exports, the direct-download artifact —
+    Laravel's Response::stream / response()->download role)."""
+
+    def __init__(self, data: bytes, content_type: str, headers: Optional[dict] = None):
+        self.data, self.content_type = data, content_type
+        self.headers = headers or {}
 
 
 def _require(d: dict, field: str, typ, *, max_len: int = 0, choices=None,
@@ -92,9 +118,11 @@ class WebApp:
 
     def __init__(self, store: Optional[Store] = None, wheel_dir: str = "dist",
                  webhook_transport=None, webhook_async: bool = True,
-                 webhook_allow_private: bool = False):
+                 webhook_allow_private: bool = False,
+                 log_dir: Optional[str] = None):
         self.store = store or Store()
         self.wheel_dir = wheel_dir
+        self._log_dir = log_dir  # None → nu_scaler.logger.data_dir() lazily
         self.webhooks = wh.WebhookService(
             self.store, transport=webhook_transport,
             async_dispatch=webhook_async, allow_private=webhook_allow_private,
@@ -123,13 +151,44 @@ class WebApp:
             ("POST", r"/api/v1/webhooks/(?P<wid>\d+)/regenerate-secret",
              self.webhook_regenerate_secret, "user"),
             ("POST", r"/api/v1/webhooks/(?P<wid>\d+)/test", self.webhook_test, "user"),
+            ("GET", r"/api/v1/download/direct", self.download_direct, None),
+            ("GET", r"/api/admin/session/check", self.admin_session_check, None),
             ("GET", r"/api/admin/metrics/dashboard", self.admin_dashboard, "admin"),
-            ("GET", r"/api/admin/reviews", lambda req, **kw: self._admin_list("reviews"), "admin"),
-            ("GET", r"/api/admin/bug-reports", lambda req, **kw: self._admin_list("bug_reports"), "admin"),
-            ("GET", r"/api/admin/hardware-surveys", lambda req, **kw: self._admin_list("hardware_surveys"), "admin"),
+            ("GET", r"/api/admin/metrics/reviews", self.admin_review_metrics, "admin"),
+            ("GET", r"/api/admin/metrics/reviews-distribution",
+             self.admin_reviews_distribution, "admin"),
+            ("GET", r"/api/admin/metrics/bug-reports", self.admin_bug_metrics, "admin"),
+            ("GET", r"/api/admin/metrics/hardware-surveys",
+             self.admin_hardware_metrics, "admin"),
+            ("GET", r"/api/admin/metrics/user-growth", self.admin_user_growth, "admin"),
+            ("GET", r"/api/admin/metrics/feedback-trends",
+             self.admin_feedback_trends, "admin"),
+            ("GET", r"/api/admin/metrics/export", self.admin_metrics_export, "admin"),
+            ("GET", r"/api/admin/reviews", self.admin_reviews, "admin"),
+            ("GET", r"/api/admin/reviews/export",
+             lambda req, **kw: self._admin_export(req, "reviews"), "admin"),
+            ("GET", r"/api/admin/reviews/(?P<rid>\d+)",
+             lambda req, rid="", **kw: self._admin_show("reviews", rid), "admin"),
+            ("GET", r"/api/admin/bug-reports", self.admin_bug_reports, "admin"),
+            ("GET", r"/api/admin/bug-reports/export",
+             lambda req, **kw: self._admin_export(req, "bug_reports"), "admin"),
+            ("GET", r"/api/admin/bug-reports/(?P<rid>\d+)",
+             lambda req, rid="", **kw: self._admin_show("bug_reports", rid), "admin"),
+            ("GET", r"/api/admin/hardware-surveys", self.admin_hardware_surveys, "admin"),
+            ("GET", r"/api/admin/hardware-surveys/export",
+             lambda req, **kw: self._admin_export(req, "hardware_surveys"), "admin"),
+            ("GET", r"/api/admin/hardware-surveys/(?P<rid>\d+)",
+             lambda req, rid="", **kw: self._admin_show("hardware_surveys", rid), "admin"),
             ("GET", r"/api/admin/benchmarks", lambda req, **kw: self._admin_list("benchmark_reports"), "admin"),
+            ("GET", r"/api/admin/logs", self.admin_logs_index, "admin"),
+            ("GET", r"/api/admin/logs/stats", self.admin_logs_stats, "admin"),
+            ("GET", r"/api/admin/logs/search", self.admin_logs_search, "admin"),
+            ("GET", r"/api/admin/logs/type/(?P<ltype>[a-z_]+)", self.admin_logs_list, "admin"),
+            ("GET", r"/api/admin/logs/file/(?P<filename>[^/]+)", self.admin_logs_show, "admin"),
+            ("DELETE", r"/api/admin/logs/file/(?P<filename>[^/]+)", self.admin_logs_delete, "admin"),
             ("GET", r"/api/admin/users", self.admin_users, "admin"),
             ("PATCH", r"/api/admin/users/(?P<uid>\d+)/role", self.admin_set_role, "admin"),
+            ("PATCH", r"/api/admin/users/(?P<uid>\d+)/status", self.admin_set_status, "admin"),
         ]
         self._compiled = [
             (m, re.compile(f"^{p}$"), h, a) for (m, p, h, a) in self.routes
@@ -164,6 +223,12 @@ class WebApp:
                 "body": body,
                 "user": self._auth_user(environ),
                 "environ": environ,
+                "query": {
+                    k: v[-1]
+                    for k, v in parse_qs(
+                        environ.get("QUERY_STRING", ""), keep_blank_values=True
+                    ).items()
+                },
             }
             matched_path = False
             for m, pat, handler, auth in self._compiled:
@@ -179,6 +244,14 @@ class WebApp:
                     if auth == "admin" and req["user"]["role"] != "admin":
                         raise _Http(403, {"message": "Forbidden."})
                 status, payload = handler(req, **mt.groupdict())
+                if isinstance(payload, _Raw):
+                    start_response(
+                        _STATUS[status],
+                        [("Content-Type", payload.content_type),
+                         ("Content-Length", str(len(payload.data))),
+                         *payload.headers.items()],
+                    )
+                    return [payload.data]
                 return self._respond(start_response, status, payload)
             if matched_path:
                 raise _Http(405, {"message": "Method Not Allowed"})
@@ -221,7 +294,8 @@ class WebApp:
 
     @staticmethod
     def _public_user(u: dict) -> dict:
-        return {"id": u["id"], "name": u["name"], "email": u["email"], "role": u["role"]}
+        return {"id": u["id"], "name": u["name"], "email": u["email"],
+                "role": u["role"], "is_active": bool(u.get("is_active", 1))}
 
     # -- auth (AuthController.php) ------------------------------------------
 
@@ -284,6 +358,30 @@ class WebApp:
 
     def download_public(self, req, **kw):
         return 200, {"data": [self._link(p) for p in PLATFORMS]}
+
+    def download_direct(self, req, **kw):
+        """Unauthenticated direct artifact download
+        (DownloadController.downloadDirectFile, routes/api.php:54): streams
+        the built distribution from `wheel_dir` (the reference serves
+        NuScaler.exe from its @releases directory), logging an anonymous
+        download; 404 when no artifact has been built."""
+        candidates = []
+        if os.path.isdir(self.wheel_dir):
+            for name in os.listdir(self.wheel_dir):
+                p = os.path.join(self.wheel_dir, name)
+                if os.path.isfile(p) and name.endswith((".whl", ".tar.gz", ".exe")):
+                    candidates.append(p)
+        if not candidates:
+            raise _Http(404, {"message": "File not found"})
+        path = max(candidates, key=os.path.getmtime)
+        with open(path, "rb") as f:
+            data = f.read()
+        self.store.log_download("direct", None)
+        fname = os.path.basename(path)
+        return 200, _Raw(
+            data, "application/octet-stream",
+            {"Content-Disposition": f'attachment; filename="{fname}"'},
+        )
 
     def download_file(self, req, platform: str = "", **kw):
         if platform not in PLATFORMS:
@@ -539,6 +637,409 @@ class WebApp:
         user = self.store.user_by_id(int(uid))
         if user is None:
             raise _Http(404, {"message": "User not found"})
+        if user["id"] == req["user"]["id"]:
+            # self-demotion guard (UserManagementController.php:38-40)
+            raise _Http(403, {"message": "You cannot change your own admin status."})
         self.store.set_role(int(uid), role)
         return 200, {"message": "Role updated",
                      "data": self._public_user(self.store.user_by_id(int(uid)))}
+
+    def admin_set_status(self, req, uid: str = "", **kw):
+        """Activate/deactivate an account
+        (UserManagementController.updateStatus, routes/api.php:131).
+        Deactivation takes effect immediately: the user's tokens stop
+        resolving and login is refused (store.user_for_token/verify_login)."""
+        active = _require(req["body"], "is_active", (bool, int))
+        user = self.store.user_by_id(int(uid))
+        if user is None:
+            raise _Http(404, {"message": "User not found"})
+        if user["id"] == req["user"]["id"]:
+            # self-deactivation guard (UserManagementController.php:52-54)
+            raise _Http(403, {"message": "You cannot change your own active status."})
+        self.store.set_status(int(uid), bool(active))
+        return 200, {"message": "User status updated.",
+                     "data": self._public_user(self.store.user_by_id(int(uid)))}
+
+    def admin_session_check(self, req, **kw):
+        """AdminSessionController.check (routes/api.php:87): body-shaped
+        401/403 rather than the generic middleware rejections, so admin SPA
+        shells can distinguish 'not logged in' from 'not an admin'."""
+        u = req["user"]
+        if u is None:
+            raise _Http(401, {"authenticated": False, "is_admin": False,
+                              "message": "User not authenticated"})
+        if u["role"] != "admin":
+            raise _Http(403, {"authenticated": True, "is_admin": False,
+                              "message": "User is not an admin"})
+        return 200, {
+            "authenticated": True,
+            "is_admin": True,
+            "user": {"id": u["id"], "name": u["name"], "email": u["email"]},
+            "message": "Admin session valid",
+        }
+
+    # -- admin feedback lists/exports (AdminFeedbackController.php) ---------
+
+    @staticmethod
+    def _date_filters(q: dict, where: list, params: list) -> None:
+        # whereDate('created_at', >=/<=) on Y-m-d strings
+        if q.get("from_date"):
+            where.append("strftime('%Y-%m-%d', created_at, 'unixepoch') >= ?")
+            params.append(q["from_date"])
+        if q.get("to_date"):
+            where.append("strftime('%Y-%m-%d', created_at, 'unixepoch') <= ?")
+            params.append(q["to_date"])
+
+    def _paginated(self, req, table: str, where: list, params: list):
+        """unifiedPaginatedResponse (AdminFeedbackController.php:283-317):
+        root-level pagination fields + links + the same data under meta."""
+        q = req["query"]
+        try:
+            per_page = max(1, min(int(q.get("per_page", 15)), 100))
+            page = max(1, int(q.get("page", 1)))
+        except ValueError:
+            per_page, page = 15, 1
+        rows, total = self.store.filtered_page(table, where, params, page, per_page)
+        for r in rows:
+            for k in ("system_info", "payload"):
+                if isinstance(r.get(k), str):
+                    r[k] = json.loads(r[k])
+        last_page = max(1, -(-total // per_page))
+        first = (page - 1) * per_page + 1 if rows else None
+        meta = {
+            "current_page": page,
+            "from": first,
+            "last_page": last_page,
+            "path": f"/api/admin/{table.replace('_', '-')}",
+            "per_page": per_page,
+            "to": first + len(rows) - 1 if rows else None,
+            "total": total,
+        }
+        return 200, {
+            "data": rows,
+            **meta,
+            "links": {
+                "first": f"{meta['path']}?page=1",
+                "last": f"{meta['path']}?page={last_page}",
+                "prev": f"{meta['path']}?page={page - 1}" if page > 1 else None,
+                "next": f"{meta['path']}?page={page + 1}" if page < last_page else None,
+            },
+            "meta": meta,
+        }
+
+    def admin_reviews(self, req, **kw):
+        q, where, params = req["query"], [], []
+        if q.get("rating"):
+            where.append("rating = ?")
+            params.append(q["rating"])
+        if q.get("search"):
+            where.append("comment LIKE ?")
+            params.append(f"%{q['search']}%")
+        self._date_filters(q, where, params)
+        return self._paginated(req, "reviews", where, params)
+
+    def admin_bug_reports(self, req, **kw):
+        q, where, params = req["query"], [], []
+        for col in ("severity", "category"):
+            if q.get(col):
+                where.append(f"{col} = ?")
+                params.append(q[col])
+        if q.get("search"):
+            where.append("description LIKE ?")
+            params.append(f"%{q['search']}%")
+        self._date_filters(q, where, params)
+        return self._paginated(req, "bug_reports", where, params)
+
+    def admin_hardware_surveys(self, req, **kw):
+        q, where, params = req["query"], [], []
+        for col in ("os", "gpu_model", "cpu_model"):
+            if q.get(col):
+                where.append(f"{col} LIKE ?")
+                params.append(f"%{q[col]}%")
+        if q.get("min_ram"):
+            where.append("ram_size >= ?")
+            params.append(q["min_ram"])
+        self._date_filters(q, where, params)
+        return self._paginated(req, "hardware_surveys", where, params)
+
+    def _admin_show(self, table: str, rid: str):
+        """show/showBugReport/showHardwareSurvey — {data: row}, 404 on miss
+        (Laravel implicit model binding)."""
+        try:
+            row = self.store.row(table, int(rid))
+        except Exception:  # noqa: BLE001 — no such id
+            raise _Http(404, {"message": "Not Found"})
+        for k in ("system_info", "payload"):
+            if isinstance(row.get(k), str):
+                row[k] = json.loads(row[k])
+        return 200, {"data": row}
+
+    def _admin_export(self, req, table: str):
+        """CSV export (AdminFeedbackController.exportReviews/-BugReports/
+        -HardwareSurveys, routes/api.php:99-106): text/csv attachment with
+        header row = column names; format=xlsx is rejected with the
+        reference's exact message."""
+        if req["query"].get("format", "csv") == "xlsx":
+            raise _Http(400, {"message": "Excel export is currently unavailable. "
+                                         "Please use CSV format instead."})
+        rows = self.store.rows(table, limit=100000)
+        buf = io.StringIO()
+        w = csv.writer(buf)
+        if rows:
+            cols = list(rows[0].keys())
+            w.writerow(cols)
+            for r in rows:
+                w.writerow([r[c] for c in cols])
+        stamp = time.strftime("%Y%m%d_%H%M%S")
+        return 200, _Raw(
+            buf.getvalue().encode(), "text/csv",
+            {"Content-Disposition": f"attachment; filename={table}_{stamp}.csv"},
+        )
+
+    # -- admin metrics (AdminMetricsController.php + AnalyticsService.php) --
+
+    def _review_metrics(self) -> dict:
+        s = self.store
+        return {
+            "average_rating": round(s.scalar("SELECT AVG(rating) FROM reviews") or 0.0, 2),
+            "total_reviews": s.count("reviews"),
+            "ratings_distribution": s.grouped("reviews", "rating"),
+            # the reference reads never-written cache counters (defaults 0,
+            # AnalyticsService.php:253-256); computing real sentiment from
+            # the ratings keeps the keys and makes them true
+            "sentiment": {
+                "positive": s.scalar("SELECT COUNT(*) FROM reviews WHERE rating >= 4") or 0,
+                "negative": s.scalar("SELECT COUNT(*) FROM reviews WHERE rating <= 2") or 0,
+            },
+        }
+
+    def _bug_metrics(self) -> dict:
+        s = self.store
+        return {
+            "total_bugs": s.count("bug_reports"),
+            "categories_distribution": s.grouped("bug_reports", "category"),
+            "severity_distribution": s.grouped("bug_reports", "severity"),
+        }
+
+    def _hardware_metrics(self) -> dict:
+        s = self.store
+        return {
+            "total_surveys": s.count("hardware_surveys"),
+            "gpu_distribution": s.grouped("hardware_surveys", "gpu_model",
+                                          limit=10, by_count=True),
+            "cpu_distribution": s.grouped("hardware_surveys", "cpu_model",
+                                          limit=10, by_count=True),
+            "os_distribution": s.grouped("hardware_surveys", "os", by_count=True),
+            "average_memory": s.scalar("SELECT AVG(ram_size) FROM hardware_surveys"),
+        }
+
+    def admin_review_metrics(self, req, **kw):
+        return 200, {"data": self._review_metrics()}
+
+    def admin_bug_metrics(self, req, **kw):
+        return 200, {"data": self._bug_metrics()}
+
+    def admin_hardware_metrics(self, req, **kw):
+        return 200, {"data": self._hardware_metrics()}
+
+    def admin_reviews_distribution(self, req, **kw):
+        """reviewsDistribution (AdminMetricsController.php:219-227) — note
+        the reference returns the bare list, NOT wrapped in {data}."""
+        dist = self.store.grouped("reviews", "rating")
+        return 200, [{"rating": k, "count": v} for k, v in sorted(dist.items())]
+
+    def admin_user_growth(self, req, **kw):
+        period = req["query"].get("period", "monthly")
+        return 200, {"data": self.store.period_counts("users", period)}
+
+    def admin_feedback_trends(self, req, **kw):
+        period = req["query"].get("period", "monthly")
+        ftype = req["query"].get("type", "all")
+        data = {}
+        if ftype in ("all", "reviews"):
+            data["reviews"] = self.store.period_counts("reviews", period)
+        if ftype in ("all", "bug_reports"):
+            data["bug_reports"] = self.store.period_counts("bug_reports", period)
+        if ftype in ("all", "hardware_surveys"):
+            data["hardware_surveys"] = self.store.period_counts("hardware_surveys", period)
+        return 200, {"data": data}
+
+    def admin_metrics_export(self, req, **kw):
+        """exportAllMetrics (AdminMetricsController.php:203-212)."""
+        return 200, {
+            "data": {
+                "reviews": self._review_metrics(),
+                "bug_reports": self._bug_metrics(),
+                "hardware_surveys": self._hardware_metrics(),
+            },
+            "generated_at": time.strftime("%Y-%m-%dT%H:%M:%S%z") or time.strftime("%Y-%m-%dT%H:%M:%S"),
+            "version": "1.0",
+        }
+
+    # -- admin log dashboard (LogDashboardController.php; files from the
+    #    real nu_scaler/logger.py data dir) ---------------------------------
+
+    LOG_TYPES = {
+        # LogDashboardController.php:18-26 — 'laravel' (System Logs) becomes
+        # 'nu_scaler', the prefix nu_scaler/logger.py actually writes
+        "api": "API Logs",
+        "feedback": "Feedback Logs",
+        "webhooks": "Webhook Logs",
+        "auth": "Authentication Logs",
+        "admin": "Admin Action Logs",
+        "performance": "Performance Logs",
+        "nu_scaler": "System Logs",
+    }
+
+    def log_dir(self) -> str:
+        if self._log_dir is None:
+            from nu_scaler.logger import data_dir
+
+            self._log_dir = data_dir()
+        return self._log_dir
+
+    def _log_files(self):
+        d = self.log_dir()
+        out = []
+        if os.path.isdir(d):
+            for name in sorted(os.listdir(d)):
+                p = os.path.join(d, name)
+                if os.path.isfile(p) and name.endswith(".log"):
+                    st = os.stat(p)
+                    out.append((name, p, st.st_size, st.st_mtime))
+        return out
+
+    @classmethod
+    def _log_type_of(cls, filename: str) -> str:
+        for t in cls.LOG_TYPES:
+            marker = "nu_scaler" if t == "nu_scaler" else f"{t}-"
+            if marker in filename:
+                return t
+        return "other"
+
+    def _safe_log_path(self, filename: str) -> str:
+        # route regex already excludes '/'; belt-and-braces against traversal
+        if "/" in filename or "\\" in filename or ".." in filename:
+            raise _Http(404, {"message": "Log file not found"})
+        path = os.path.join(self.log_dir(), filename)
+        if not os.path.isfile(path):
+            raise _Http(404, {"message": "Log file not found"})
+        return path
+
+    def admin_logs_index(self, req, **kw):
+        return 200, {"data": self.LOG_TYPES}
+
+    def admin_logs_list(self, req, ltype: str = "", **kw):
+        if ltype not in self.LOG_TYPES:
+            raise _Http(400, {"message": "Invalid log type"})
+        files = [
+            {"name": n, "size": sz,
+             "modified": time.strftime("%Y-%m-%d %H:%M:%S", time.localtime(mt))}
+            for (n, _p, sz, mt) in self._log_files()
+            if self._log_type_of(n) == ltype
+        ]
+        files.sort(key=lambda f: f["modified"], reverse=True)
+        return 200, {"data": files}
+
+    def admin_logs_show(self, req, filename: str = "", **kw):
+        path = self._safe_log_path(filename)
+        filesize = os.path.getsize(path)
+        max_size = 1024 * 1024
+        start = max(filesize - max_size, 0)
+        q = req["query"]
+        try:
+            if "start" in q:
+                start = int(q["start"])
+            length = min(max_size, filesize - start)
+            if "length" in q:
+                length = min(int(q["length"]), max_size)
+        except ValueError:
+            raise _Http(400, {"message": "start/length must be integers"})
+        with open(path, "rb") as f:
+            f.seek(max(start, 0))
+            contents = f.read(max(length, 0))
+        return 200, {"data": {
+            "filename": filename,
+            "filesize": filesize,
+            "start": start,
+            "length": len(contents),
+            "hasMore": (start + len(contents)) < filesize,
+            "contents": base64.b64encode(contents).decode(),
+        }}
+
+    def admin_logs_delete(self, req, filename: str = "", **kw):
+        os.remove(self._safe_log_path(filename))
+        return 200, {"message": "Log file deleted successfully"}
+
+    def admin_logs_stats(self, req, **kw):
+        files = self._log_files()
+        by_type: dict = {}
+        oldest = newest = None
+        for (n, _p, sz, mt) in files:
+            t = self._log_type_of(n)
+            b = by_type.setdefault(t, {"count": 0, "size": 0})
+            b["count"] += 1
+            b["size"] += sz
+            entry = {"name": n, "time": mt,
+                     "date": time.strftime("%Y-%m-%d %H:%M:%S", time.localtime(mt))}
+            if oldest is None or mt < oldest["time"]:
+                oldest = entry
+            if newest is None or mt > newest["time"]:
+                newest = entry
+        return 200, {"data": {
+            "totalFiles": len(files),
+            "totalSize": sum(sz for (_n, _p, sz, _m) in files),
+            "oldestFile": oldest,
+            "newestFile": newest,
+            "logsByType": by_type,
+        }}
+
+    def admin_logs_search(self, req, **kw):
+        q = req["query"]
+        term = q.get("term", "")
+        if len(term) < 3:
+            raise _Http(422, {"message": "Validation failed",
+                              "errors": {"term": ["The term must be at least 3 characters."]}})
+        ltype = q.get("type")
+        if ltype and ltype not in self.LOG_TYPES:
+            raise _Http(422, {"message": "Validation failed",
+                              "errors": {"type": ["The selected type is invalid."]}})
+        files = self._log_files()
+        if ltype:
+            files = [f for f in files if self._log_type_of(f[0]) == ltype]
+        date_from, date_to = q.get("date_from"), q.get("date_to")
+        if date_from or date_to:
+            def _in_range(mt):
+                d = time.strftime("%Y-%m-%d", time.localtime(mt))
+                return not (date_from and d < date_from) and not (date_to and d > date_to)
+
+            files = [f for f in files if _in_range(f[3])]
+        max_files = 20
+        results = []
+        for (n, p, sz, mt) in files[:max_files]:
+            # line scan in-process (the reference shells out to grep —
+            # LogDashboardController.php:299; no subprocess needed here)
+            matches = []
+            count = 0
+            with open(p, "r", errors="replace") as f:
+                for i, line in enumerate(f, 1):
+                    if term in line:
+                        count += 1
+                        if len(matches) < 50:
+                            matches.append(f"{i}:{line.rstrip()}")
+            if count:
+                results.append({
+                    "filename": n,
+                    "matches": matches,
+                    "match_count": count,
+                    "size": sz,
+                    "modified": time.strftime("%Y-%m-%d %H:%M:%S", time.localtime(mt)),
+                })
+        return 200, {
+            "data": results,
+            "meta": {
+                "total_files_searched": len(files),
+                "max_files_searched": max_files,
+                "total_results": len(results),
+            },
+        }

@@ -22,6 +22,7 @@ CREATE TABLE IF NOT EXISTS users (
     password_hash TEXT NOT NULL,
     salt TEXT NOT NULL,
     role TEXT NOT NULL DEFAULT 'user',
+    is_active INTEGER NOT NULL DEFAULT 1,
     created_at REAL NOT NULL
 );
 CREATE TABLE IF NOT EXISTS tokens (
@@ -121,6 +122,12 @@ class Store:
         self._lock = threading.Lock()
         with self._lock:
             self._conn.executescript(_SCHEMA)
+            # pre-is_active databases on disk: additive migration
+            cols = {r[1] for r in self._conn.execute("PRAGMA table_info(users)")}
+            if "is_active" not in cols:
+                self._conn.execute(
+                    "ALTER TABLE users ADD COLUMN is_active INTEGER NOT NULL DEFAULT 1"
+                )
             self._conn.commit()
 
     def _exec(self, sql: str, params: tuple = ()) -> sqlite3.Cursor:
@@ -152,7 +159,11 @@ class Store:
 
     def verify_login(self, email: str, password: str) -> Optional[dict]:
         row = self._exec("SELECT * FROM users WHERE email=?", (email,)).fetchone()
-        if row and _hash_password(password, row["salt"]) == row["password_hash"]:
+        if (
+            row
+            and row["is_active"]
+            and _hash_password(password, row["salt"]) == row["password_hash"]
+        ):
             return dict(row)
         return None
 
@@ -168,15 +179,23 @@ class Store:
         self._exec("UPDATE tokens SET revoked=1 WHERE token=?", (token,))
 
     def user_for_token(self, token: str) -> Optional[dict]:
+        # deactivated accounts lose API access immediately (their existing
+        # tokens stop resolving), matching the is_active gate the reference's
+        # UserManagementController.updateStatus exists to enforce
         row = self._exec(
             "SELECT u.* FROM tokens t JOIN users u ON u.id=t.user_id"
-            " WHERE t.token=? AND t.revoked=0",
+            " WHERE t.token=? AND t.revoked=0 AND u.is_active=1",
             (token,),
         ).fetchone()
         return dict(row) if row else None
 
     def set_role(self, user_id: int, role: str) -> None:
         self._exec("UPDATE users SET role=? WHERE id=?", (role, user_id))
+
+    def set_status(self, user_id: int, active: bool) -> None:
+        self._exec(
+            "UPDATE users SET is_active=? WHERE id=?", (1 if active else 0, user_id)
+        )
 
     # -- feedback -----------------------------------------------------------
 
@@ -379,12 +398,57 @@ class Store:
         row = self._exec(sql, params).fetchone()
         return row[0] if row else None
 
-    def grouped(self, table: str, column: str) -> dict:
+    def grouped(self, table: str, column: str, limit: int = 0,
+                by_count: bool = False) -> dict:
+        """COUNT(*) per distinct value. `by_count` orders descending by count
+        with an optional top-`limit` (the AnalyticsService gpu/cpu top-10);
+        default orders by the value itself (ratings/severity distributions).
+        """
         assert table in _TABLES
-        rs = self._exec(
-            f"SELECT {column} k, COUNT(*) c FROM {table} GROUP BY {column}"
-        ).fetchall()
+        order = "c DESC" if by_count else "k"
+        sql = f"SELECT {column} k, COUNT(*) c FROM {table} GROUP BY {column} ORDER BY {order}"
+        if limit:
+            sql += f" LIMIT {int(limit)}"
+        rs = self._exec(sql).fetchall()
         return {r["k"]: r["c"] for r in rs}
+
+    _PERIOD_FMT = {
+        # AdminMetricsController.php:115-122 DATE_FORMAT equivalents
+        "daily": "%Y-%m-%d",
+        "weekly": "%Y-%W",
+        "monthly": "%Y-%m",
+        "yearly": "%Y",
+    }
+
+    def period_counts(self, table: str, period: str = "monthly") -> list[dict]:
+        """[{date, count}] per period bucket over the trailing year — the
+        user-growth / feedback-trends query shape
+        (AdminMetricsController.php:111-196)."""
+        assert table in _TABLES
+        fmt = self._PERIOD_FMT.get(period, self._PERIOD_FMT["monthly"])
+        since = time.time() - 365 * 86400.0
+        rs = self._exec(
+            f"SELECT strftime('{fmt}', created_at, 'unixepoch') d, COUNT(*) c"
+            f" FROM {table} WHERE created_at >= ? GROUP BY d ORDER BY d",
+            (since,),
+        ).fetchall()
+        return [{"date": r["d"], "count": r["c"]} for r in rs]
+
+    def filtered_page(self, table: str, where: list, params: list,
+                      page: int = 1, per_page: int = 15) -> tuple[list[dict], int]:
+        """Filtered + paginated listing (the admin index endpoints' Eloquent
+        ->when(...)->latest()->paginate(...) shape). Returns (rows, total)."""
+        assert table in _TABLES
+        cond = (" WHERE " + " AND ".join(where)) if where else ""
+        total = self._exec(
+            f"SELECT COUNT(*) c FROM {table}{cond}", tuple(params)
+        ).fetchone()["c"]
+        rs = self._exec(
+            f"SELECT * FROM {table}{cond} ORDER BY created_at DESC, id DESC"
+            " LIMIT ? OFFSET ?",
+            (*params, per_page, (page - 1) * per_page),
+        ).fetchall()
+        return [dict(r) for r in rs], total
 
 
 _TABLES = {
