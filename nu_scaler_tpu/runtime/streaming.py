@@ -74,11 +74,21 @@ class LivePipeline:
         depth: int = 2,
         amortize_blend: bool = False,
         fused_step_fn: Optional[Callable] = None,
+        ingest_fn: Optional[Callable] = None,
+        deliver_fn: Optional[Callable] = None,
     ) -> None:
         self.upscale_fn = upscale_fn
         self.interp_fn = interp_fn
         self.device = device or jax.devices()[0]
         self.depth = max(1, depth)
+        # transfer-minimal live formats (ops/color.py): `ingest_fn` converts
+        # planar 4:2:0 capture frames (a (y, u, v) tuple fed to put) to RGBA
+        # on-device (1.5 B/px over the link instead of 4); `deliver_fn` maps
+        # each output frame to its host-transfer payload on-device (4:2:0
+        # planes and/or a preview resolution). The reference swizzled full
+        # BGRA on the CPU both ways (realtime.rs:463-494).
+        self.ingest_fn = ingest_fn
+        self.deliver_fn = deliver_fn
         # cross-fade commutes with linear resampling: blend ALREADY-UPSCALED
         # frames and reuse the previous step's upscale — one upscale + one
         # cheap blend per 2 output frames (valid for blend-mode interp only)
@@ -96,9 +106,27 @@ class LivePipeline:
         self.frames_in = 0
         self.frames_out = 0
 
-    def put(self, frame: np.ndarray) -> list[np.ndarray]:
-        """Feed one captured frame; returns 0+ completed output frames."""
-        cur = jax.device_put(frame, self.device)
+    @staticmethod
+    def _fetch(payload):
+        if isinstance(payload, tuple):
+            return tuple(np.asarray(p) for p in payload)
+        return np.asarray(payload)
+
+    def put(self, frame) -> list:
+        """Feed one captured frame; returns 0+ completed host-side output
+        payloads (RGBA arrays, or plane tuples under a 4:2:0 deliver_fn)."""
+        return [self._fetch(o) for o in self.put_device(frame)]
+
+    def put_device(self, frame) -> list:
+        """Like put(), but returns DEVICE payloads without host sync — the
+        presenter decides per frame whether to pay the D2H fetch (adaptive
+        frame skipping then saves the transfer, the live bottleneck, the way
+        fullscreen.rs's skip saved the render)."""
+        if self.ingest_fn is not None and isinstance(frame, tuple):
+            planes = tuple(jax.device_put(p, self.device) for p in frame)
+            cur = self.ingest_fn(*planes)
+        else:
+            cur = jax.device_put(frame, self.device)
         outs: list = []
         if self.fused_step_fn is not None:
             import jax.numpy as jnp
@@ -128,19 +156,24 @@ class LivePipeline:
             outs.append(self.upscale_fn(cur))
         self._prev = cur
         self.frames_in += 1
+        if self.deliver_fn is not None:
+            outs = [self.deliver_fn(o) for o in outs]
         self._inflight.append(tuple(outs))
-        ready: list[np.ndarray] = []
+        ready: list = []
         if len(self._inflight) > self.depth:
             for o in self._inflight.pop(0):
-                ready.append(np.asarray(o))
+                ready.append(o)
                 self.frames_out += 1
         return ready
 
-    def drain(self) -> list[np.ndarray]:
+    def drain(self) -> list:
+        return [self._fetch(o) for o in self.drain_device()]
+
+    def drain_device(self) -> list:
         ready = []
         while self._inflight:
             for o in self._inflight.pop(0):
-                ready.append(np.asarray(o))
+                ready.append(o)
                 self.frames_out += 1
         return ready
 
