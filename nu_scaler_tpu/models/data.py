@@ -138,12 +138,40 @@ class PairPool:
         frames_per_clip: int = 6,
         pool_size: int = 4096,
         seed0: int = 100,
+        down_mix: float = 0.0,
     ):
+        """down_mix > 0 diversifies the SOURCE distribution: that fraction of
+        the clip pool is rendered at 2× resolution and area-downsampled back
+        (supersampled content — cleaner high-frequency statistics than the
+        native render, the way downscaled-4K footage differs from native
+        1080p). The same native+downsampled mix lifted the MC-refinement
+        net at every measured height after its same-distribution fine-tunes
+        had saturated (interp_ref4 64k, CLAUDE.md) — the analogous lever for
+        the SR trunk's step-saturated recipe (TODO r3 session-3)."""
         self.scale = scale
         self.crop = crop
         frames: List[np.ndarray] = []
+        n_down = int(round(n_clips * down_mix))
         for c in range(n_clips):
-            clip = render_clip(seed=seed0 + c, frames=frames_per_clip)
+            if c < n_down:
+                hi = render_clip(h=576, w=1024, seed=seed0 + c,
+                                 frames=frames_per_clip)
+                clip = [
+                    np.concatenate(
+                        [
+                            np.clip(
+                                np.round(_area_down(
+                                    f[..., :3].astype(np.float32), 2
+                                )), 0, 255,
+                            ).astype(np.uint8),
+                            np.full((288, 512, 1), 255, np.uint8),
+                        ],
+                        axis=-1,
+                    )
+                    for f in hi
+                ]
+            else:
+                clip = render_clip(seed=seed0 + c, frames=frames_per_clip)
             frames.extend(clip_through_video_path(clip))
         hrs = np.empty((pool_size, crop, crop, 3), np.float32)
         lrs = np.empty((pool_size, crop // scale, crop // scale, 3), np.float32)

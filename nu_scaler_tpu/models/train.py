@@ -275,6 +275,7 @@ def train(
     pool_size: int = 4096,
     distill: str | None = None,
     distill_w: float = 0.5,
+    down_mix: float = 0.0,
 ) -> float:
     """Returns final loss. data: "video" (clip pairs through the y4m path —
     the production domain) | "synthetic" (round-1 gradients/blobs).
@@ -325,7 +326,7 @@ def train(
 
         print("rendering clip pool (video path)...", flush=True)
         pool = PairPool(rng, scale=2**stages, crop=crop, n_clips=n_clips,
-                        pool_size=pool_size)
+                        pool_size=pool_size, down_mix=down_mix)
         if distill is not None:
             touts = teacher_outputs(distill, stages, pool.lrs)
     elif distill is not None:
@@ -395,6 +396,11 @@ if __name__ == "__main__":
     p.add_argument("--distill", default=None, help="teacher arch to distill "
                    "from (e.g. tpu4); adds w*loss(student, teacher(LR))")
     p.add_argument("--distill-w", type=float, default=0.5)
+    p.add_argument("--down-mix", type=float, default=0.0, help="fraction of "
+                   "the clip pool rendered at 2x and area-downsampled "
+                   "(source-distribution diversity, see PairPool)")
+    p.add_argument("--seed", type=int, default=0, help="numpy seed for the "
+                   "pool draw + batch order (fresh draws per fine-tune leg)")
     p.add_argument("--eval", action="store_true", help="evaluate the latest "
                    "checkpoint vs lanczos3 on held-out clips and exit")
     p.add_argument("--calibrate", action="store_true", help="calibrate int8 "
@@ -420,7 +426,9 @@ if __name__ == "__main__":
     elif args.eval:
         evaluate(args.stages, args.arch)
     else:
-        train(args.steps, args.batch, args.stages, args.lr, arch=args.arch,
+        train(args.steps, args.batch, args.stages, args.lr, seed=args.seed,
+              arch=args.arch,
               data=args.data, crop=args.crop, loss_kind=args.loss,
               n_clips=args.clips, pool_size=args.pool,
-              distill=args.distill, distill_w=args.distill_w)
+              distill=args.distill, distill_w=args.distill_w,
+              down_mix=args.down_mix)

@@ -447,3 +447,23 @@ def test_int8_io_quant_preserves_alpha_and_flat_fields(rng):
         )
     )
     assert float(np.abs(out.astype(int) - ref.astype(int)).mean()) < 1.5
+
+
+def test_pair_pool_down_mix_sources():
+    """down_mix renders that fraction of the clip pool supersampled (2× then
+    area-down) — the source-diversity lever for fine-tune legs. Both modes
+    must yield the same crop geometry and [0,1] range, and the downsampled
+    sources must actually differ from the native render of the same seed."""
+    import numpy as np
+
+    from nu_scaler_tpu.models.data import PairPool
+
+    kw = dict(scale=2, crop=64, n_clips=2, frames_per_clip=2, pool_size=16)
+    native = PairPool(np.random.default_rng(0), down_mix=0.0, **kw)
+    mixed = PairPool(np.random.default_rng(0), down_mix=0.5, **kw)
+    assert mixed.hrs.shape == native.hrs.shape == (16, 64, 64, 3)
+    assert mixed.lrs.shape == (16, 32, 32, 3)
+    assert 0.0 <= mixed.hrs.min() and mixed.hrs.max() <= 1.0
+    # same rng draw + same crop coordinates, but clip 0's frames come from a
+    # different (supersampled) source — the pools must not be identical
+    assert not np.allclose(mixed.hrs, native.hrs)
