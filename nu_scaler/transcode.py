@@ -55,6 +55,7 @@ def transcode(
     interp_mode: str = "flow_soft",
     limit: Optional[int] = None,
     progress: Optional[Callable[[int, int], None]] = None,
+    batch: int = 1,
 ) -> dict:
     """Upscale (and frame-rate multiply) a Y4M clip file-to-file.
 
@@ -62,10 +63,20 @@ def transcode(
     motion solve each — mids at t = 1/N .. (N-1)/N), so output fps =
     input fps × N and output frame count = N·(n_in − 1) + 1.
 
+    batch N groups N frames into ONE device program per upscale dispatch
+    (`upscale_batch`) — offline throughput at the cost of N× latency,
+    which a file-to-file transcode doesn't care about. On the learned
+    tier the MXU amortizes the serving graph's fixed costs across the
+    batch (tpu4-int8: 2.69 ms/frame at batch=2 vs 3.83 single,
+    tools/experiments/esrgan_surgery7.py); the final short group pads to
+    the steady batch size so only one batched program ever compiles.
+
     Returns a stats dict (frames in/out, dims, wall seconds, output fps).
     """
     if factor < 1:
         raise ValueError(f"factor must be ≥ 1, got {factor}")
+    if batch < 1:
+        raise ValueError(f"batch must be ≥ 1, got {batch}")
     reader = Y4MReader(input_path)
     w, h = reader.width, reader.height
     out_w, out_h = int(w * scale), int(h * scale)
@@ -84,11 +95,31 @@ def transcode(
     prev: Optional[bytes] = None
     t0 = time.perf_counter()
 
-    def emit(frame_bytes: bytes) -> None:
+    pending: list = []
+
+    def _write(out: bytes) -> None:
         nonlocal n_out
-        out = upscaler.upscale(frame_bytes)
         writer.write(np.frombuffer(out, np.uint8).reshape(out_h, out_w, 4))
         n_out += 1
+
+    def flush() -> None:
+        if not pending:
+            return
+        k = len(pending)
+        # pad the final short group to the steady batch size: one compiled
+        # program for the whole run (a k<batch group would compile a second)
+        group = pending + [pending[-1]] * (batch - k)
+        for out in upscaler.upscale_batch(group)[:k]:
+            _write(out)
+        pending.clear()
+
+    def emit(frame_bytes: bytes) -> None:
+        if batch <= 1:
+            _write(upscaler.upscale(frame_bytes))
+            return
+        pending.append(frame_bytes)
+        if len(pending) == batch:
+            flush()
 
     try:
         for frame in reader:
@@ -103,6 +134,7 @@ def transcode(
                 progress(n_in, n_out)
             if limit is not None and n_in >= limit:
                 break
+        flush()
     finally:
         writer.close()
         reader.close()
@@ -120,6 +152,7 @@ def transcode(
         "technology": (technology or "wgpu").lower(),
         "algorithm": algorithm,
         "factor": factor,
+        "batch": batch,
     }
 
 
@@ -141,6 +174,9 @@ def main(argv=None) -> int:
                    choices=["blend", "flow", "flow_soft", "flow_soft_ref"])
     p.add_argument("--limit", type=int, default=None,
                    help="stop after N input frames")
+    p.add_argument("--batch", type=int, default=1,
+                   help="frames per upscale dispatch (one device program "
+                        "per group — offline throughput, N× latency)")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend "
                    "(the site config pins JAX_PLATFORMS=axon)")
     args = p.parse_args(argv)
@@ -157,7 +193,7 @@ def main(argv=None) -> int:
         args.input, args.output,
         scale=args.scale, algorithm=args.algorithm, technology=args.tech,
         quality=args.quality, factor=args.factor, interp_mode=args.interp_mode,
-        limit=args.limit, progress=prog,
+        limit=args.limit, progress=prog, batch=args.batch,
     )
     print(stats)
     return 0 if stats["frames_out"] > 0 else 1

@@ -290,6 +290,38 @@ class PyAdvancedWgpuUpscaler(PyWgpuUpscaler):
             self._update_adaptive_quality()
         return out
 
+    def upscale_batch(self, frames: Iterable[bytes]) -> list[bytes]:
+        """Learned-tier batch path: ONE vmapped device program over the
+        stacked frames (`esrgan_lite.make_pretrained_batch_upscaler` — the
+        MXU amortizes the serving graph's fixed dispatch costs, 2.69 ms/
+        frame at batch=2 vs 3.83 single on tpu4-int8); a multi-device mesh
+        shards the batch data-parallel (`mesh.esrgan_batch_sharded`).
+        Classical tiers keep the batch-polymorphic base path. This is the
+        throughput tier (latency = batch × frame): transcode rides it, the
+        live loop keeps single-frame `upscale`."""
+        if getattr(self, "_serving_tier", "classical") != "learned":
+            return super().upscale_batch(frames)
+        self._check_ready()
+        stacked = np.stack([self._to_array(bytes(f)) for f in frames])
+        prefer = getattr(self, "learned_prefer", "quality")
+        if jax.device_count() > 1:
+            from nu_scaler_tpu.parallel.mesh import esrgan_batch_sharded
+
+            out = np.asarray(esrgan_batch_sharded(
+                stacked, self.output_height, self.output_width, prefer=prefer
+            ))
+        else:
+            from nu_scaler_tpu.models import esrgan_lite
+
+            bfn = esrgan_lite.make_pretrained_batch_upscaler(
+                self.input_height, self.input_width,
+                self.output_height, self.output_width, prefer=prefer,
+            )
+            out = np.asarray(bfn(stacked))
+        if self._adaptive_quality:
+            self._update_adaptive_quality()
+        return [out[i].tobytes() for i in range(out.shape[0])]
+
     _QUALITY_RANK = {
         UpscalingQuality.ULTRA: 5,
         UpscalingQuality.QUALITY: 4,

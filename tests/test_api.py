@@ -397,3 +397,24 @@ def test_nuscaler_facade(monkeypatch):
         ns2.close()
     ns2.set_quality("performance")
     assert ns2.quality == "performance"
+
+
+def test_advanced_learned_batch_ragged_dp(pattern):
+    """Learned-tier upscale_batch rides ONE batched device program (vmapped
+    fused graph; dp-sharded over the mesh when devices > 1 —
+    mesh.esrgan_batch_sharded pads ragged batches). 3 frames on the 8-dev
+    CPU mesh exercises the pad path; per-frame outputs must match
+    single-frame serving."""
+    up = nsc.create_advanced_upscaler("ultra")
+    up.initialize(32, 32, 64, 64)
+    assert up._serving_tier == "learned"
+    frames = [pattern(32, 32).tobytes(),
+              np.roll(pattern(32, 32), 5, axis=1).tobytes(),
+              np.roll(pattern(32, 32), 11, axis=0).tobytes()]
+    outs = up.upscale_batch(frames)
+    assert len(outs) == 3
+    for f, o in zip(frames, outs):
+        single = up.upscale(f)
+        a = np.frombuffer(o, np.uint8).astype(np.int32)
+        b = np.frombuffer(single, np.uint8).astype(np.int32)
+        assert np.abs(a - b).max() <= 1

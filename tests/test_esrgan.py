@@ -467,3 +467,22 @@ def test_pair_pool_down_mix_sources():
     # same rng draw + same crop coordinates, but clip 0's frames come from a
     # different (supersampled) source — the pools must not be identical
     assert not np.allclose(mixed.hrs, native.hrs)
+
+
+def test_batch_upscaler_matches_single(rng):
+    """make_pretrained_batch_upscaler (vmapped fused serving graph) must
+    reproduce the single-frame production path per frame: same weights,
+    same int8 grid — the batch only amortizes dispatch overhead
+    (tools/experiments/esrgan_surgery7.py arm D). u8 tolerance 1 LSB for
+    batched-conv reduction-order ties."""
+    single = el.make_pretrained_upscaler(16, 16, 32, 32)
+    batched = el.make_pretrained_batch_upscaler(16, 16, 32, 32)
+    assert batched.arch == single.arch
+    assert batched.quantized == single.quantized
+    imgs = rng.integers(0, 256, (3, 16, 16, 4), np.uint8)
+    out_b = np.asarray(batched(jnp.asarray(imgs)))
+    assert out_b.shape == (3, 32, 32, 4) and out_b.dtype == np.uint8
+    for i in range(3):
+        out_s = np.asarray(single(jnp.asarray(imgs[i])))
+        diff = np.abs(out_b[i].astype(np.int32) - out_s.astype(np.int32))
+        assert diff.max() <= 1

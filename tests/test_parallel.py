@@ -369,3 +369,23 @@ def test_interpolate_batch_sharded_refined(rng, monkeypatch):
 
     ir.get_refine_graph.cache_clear()
     ir.get_refine_phase_graph.cache_clear()
+
+
+def test_esrgan_batch_sharded_matches_single(rng):
+    """dp learned-tier batch: frames sharded over the mesh batch axis, each
+    device running the production fused serving graph. Per-frame outputs
+    must match the single-frame production path (≤1 LSB for batched-conv
+    reduction ties); ragged batches pad by repeating the last frame."""
+    from nu_scaler_tpu.models import esrgan_lite as el
+
+    mesh = pmesh.make_mesh()
+    imgs = rng.integers(0, 256, (6, 16, 16, 4), np.uint8)  # 6 % 8 != 0: pad path
+    out = np.asarray(pmesh.esrgan_batch_sharded(imgs, 32, 32, mesh))
+    assert out.shape == (6, 32, 32, 4) and out.dtype == np.uint8
+    single = el.make_pretrained_upscaler(16, 16, 32, 32)
+    import jax.numpy as jnp
+
+    for i in range(6):
+        ref = np.asarray(single(jnp.asarray(imgs[i])))
+        diff = np.abs(out[i].astype(np.int32) - ref.astype(np.int32))
+        assert diff.max() <= 1

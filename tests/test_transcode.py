@@ -105,3 +105,49 @@ def test_transcode_cli(tmp_path):
     r = Y4MReader(dst)
     assert len(list(r)) == 2
     r.close()
+
+
+def test_transcode_batched_matches_single(tmp_path):
+    """--batch N groups frames into one device program per dispatch; the
+    output file must match the batch=1 run bit-for-bit (the classical
+    resampler body is batch-polymorphic — same program, stacked)."""
+    src = str(tmp_path / "in.y4m")
+    d1 = str(tmp_path / "out1.y4m")
+    d2 = str(tmp_path / "out2.y4m")
+    _write_clip(src, _moving_clip(5), fps=30)
+
+    s1 = transcode(src, d1, scale=2.0, algorithm="lanczos3", factor=1)
+    s2 = transcode(src, d2, scale=2.0, algorithm="lanczos3", factor=1, batch=2)
+    assert s1["frames_out"] == s2["frames_out"] == 5
+    assert s2["batch"] == 2
+
+    r1, r2 = Y4MReader(d1), Y4MReader(d2)
+    for a, b in zip(r1, r2):
+        np.testing.assert_array_equal(a, b)
+    r1.close()
+    r2.close()
+
+
+def test_transcode_batched_factor_pads_final_group(tmp_path):
+    """factor=2 over 3 inputs emits 5 frames: batch=2 leaves a final short
+    group (pad-to-batch path) and must still write all 5 in order."""
+    src = str(tmp_path / "in.y4m")
+    d1 = str(tmp_path / "out1.y4m")
+    d2 = str(tmp_path / "out2.y4m")
+    _write_clip(src, _moving_clip(3), fps=30)
+
+    kw = dict(scale=2.0, algorithm="bilinear", factor=2, interp_mode="blend")
+    s1 = transcode(src, d1, **kw)
+    s2 = transcode(src, d2, batch=2, **kw)
+    assert s1["frames_out"] == s2["frames_out"] == 5
+
+    r1, r2 = Y4MReader(d1), Y4MReader(d2)
+    f1, f2 = list(r1), list(r2)
+    r1.close()
+    r2.close()
+    assert len(f2) == 5
+    for a, b in zip(f1, f2):
+        np.testing.assert_array_equal(a, b)
+
+    with pytest.raises(ValueError):
+        transcode(src, d1, batch=0)
