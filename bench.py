@@ -75,6 +75,29 @@ def make_input(seed: int = 0) -> np.ndarray:
     return f
 
 
+def chain_next(cur, *outs):
+    """Next-step input for the chained timing loops: the resident 1080p
+    frame perturbed by a scalar reduced from EVERY output tensor — a real
+    data dependency that forces the full outputs (XLA cannot slice-through
+    or elide any of them) without billing a relayout to the step.
+
+    The r1-r3 harness chained ``out[:1080, :1920, :]`` instead, which (a)
+    cost a u8 relayout per step — +0.09 ms on the plain resampler and
+    +0.62 ms on the flow_soft step, whose non-32-row-granule crop feeds
+    the Pallas warp's tiled input — and (b) kept each step's OTHER outputs
+    live only through tiny slice checksums, which XLA can (and did)
+    compute without materializing the full tensors. Full-sum chaining
+    matches the crop on conv-dominated graphs (tpu4-int8 3.829 vs
+    3.846 ms — nothing elidable there) and isolates the honest step cost
+    everywhere else (tools/experiments/surgery8_chain_tax.py, r4)."""
+    v = None
+    for o in outs:
+        s = jnp.sum(o.astype(jnp.int32))
+        v = s if v is None else v + s
+    v = (v % 2).astype(jnp.float32)
+    return jnp.clip(cur.astype(jnp.float32) + v, 0.0, 255.0).astype(jnp.uint8)
+
+
 def blend_amortized_body():
     """Amortized blend pipeline: cross-fade commutes with linear resampling,
     so the mid frame is blended from ALREADY-UPSCALED 4K frames and the
@@ -86,8 +109,8 @@ def blend_amortized_body():
         prev_up, cur, acc = state
         cur_up = up(cur)
         mid = interp_ops.blend_only(prev_up, cur_up, 0.5)
-        nxt = cur_up[:IN_H, :IN_W, :]
-        acc = acc + jnp.sum(mid[:1, :8, 0].astype(jnp.float32))
+        nxt = chain_next(cur, cur_up, mid)  # forces the FULL mid (r1-r3
+        # kept only an 8-px checksum live — XLA elided most of the blend)
         return (cur_up, nxt, acc)
 
     return body
@@ -108,9 +131,10 @@ def blend_fused_body(ts=(0.5,)):
         prev_up2d, cur, acc = state
         outs = fb(cur, prev_up2d)
         cur_up2d, mids = outs[0], outs[1:]
-        nxt = cur_up2d[:IN_H, : IN_W * 4].reshape(IN_H, IN_W, 4)
-        for m in mids:
-            acc = acc + jnp.sum(m[:1, :32].astype(jnp.float32))
+        # cur_up2d feeds the next kernel call (real pipeline data flow);
+        # the mids are materialized by the pallas_call itself — the chain
+        # scalar just keeps them rooted
+        nxt = chain_next(cur, *mids)
         return (cur_up2d, nxt, acc)
 
     return fb, body
@@ -141,8 +165,7 @@ def pipeline_body(mode: str):
             prev, cur, acc = state
             out_mid = mid_up(prev, cur, 0.5)
             out_cur = up(cur)
-            nxt = out_cur[:IN_H, :IN_W, :]
-            acc = acc + jnp.sum(out_mid[:1, :8, 0].astype(jnp.float32))
+            nxt = chain_next(cur, out_mid, out_cur)
             return (cur, nxt, acc)
 
         return body
@@ -158,8 +181,7 @@ def pipeline_body(mode: str):
         mid = mid_fn(prev, cur, 0.5)
         out_mid = up(mid)  # single-frame calls ride the fused Pallas kernel
         out_cur = up(cur)
-        nxt = out_cur[:IN_H, :IN_W, :]
-        acc = acc + jnp.sum(out_mid[:1, :8, 0].astype(jnp.float32))  # keep mid live
+        nxt = chain_next(cur, out_mid, out_cur)
         return (cur, nxt, acc)
 
     return body
@@ -177,9 +199,7 @@ def soft3x_body():
         out_m1 = up(mids[0])
         out_m2 = up(mids[1])
         out_cur = up(cur)
-        nxt = out_cur[:IN_H, :IN_W, :]
-        acc = acc + jnp.sum(out_m1[:1, :8, 0].astype(jnp.float32))
-        acc = acc + jnp.sum(out_m2[:1, :8, 0].astype(jnp.float32))
+        nxt = chain_next(cur, out_m1, out_m2, out_cur)
         return (cur, nxt, acc)
 
     return body
@@ -199,8 +219,7 @@ def soft3x_ref_body():
         prev, cur, acc = state
         outs = multi_up(prev, cur)
         out_cur = up(cur)
-        nxt = out_cur[:IN_H, :IN_W, :]
-        acc = acc + jnp.sum(outs[:, :1, :8, 0].astype(jnp.float32))
+        nxt = chain_next(cur, outs, out_cur)
         return (cur, nxt, acc)
 
     return body
@@ -222,9 +241,7 @@ def perf_interp_body():
         mid_half = interp_ops.warp_blend_fast(ph, ch, flow, 0.5)
         out_mid = up_mid(mid_half)
         out_cur = up_full(cur)
-        nxt = out_cur[:IN_H, :IN_W, :]
-        # keep out_mid live (fold a probe into the carried checksum)
-        acc = acc + jnp.sum(out_mid[:1, :8, 0].astype(jnp.float32))
+        nxt = chain_next(cur, out_mid, out_cur)
         return (cur, nxt, acc)
 
     return body
@@ -588,8 +605,7 @@ def bench_upscale(algorithm: str, iters: int, overhead_s: float) -> float:
     up = resample.make_resampler(IN_H, IN_W, OUT_H, OUT_W, algorithm)
 
     def body(state):
-        out = up(state)
-        return out[:IN_H, :IN_W, :]
+        return chain_next(state, up(state))
 
     spf = timed_loop(body, jax.device_put(make_input()), iters, overhead_s)
     return 1.0 / spf
@@ -599,8 +615,7 @@ def bench_fsr(iters: int, overhead_s: float) -> float:
     fn = fsr_ops.make_fsr_upscaler(IN_H, IN_W, OUT_H, OUT_W, "quality")
 
     def body(state):
-        out = fn(state)
-        return out[:IN_H, :IN_W, :]
+        return chain_next(state, fn(state))
 
     spf = timed_loop(body, jax.device_put(make_input()), iters, overhead_s)
     return 1.0 / spf
@@ -778,7 +793,7 @@ def main() -> None:
         pfn = make_pallas_resampler(IN_H, IN_W, OUT_H, OUT_W, "lanczos3")
         if pfn is not None:
             def pbody(state):
-                return pfn(state)[:IN_H, :IN_W, :]
+                return chain_next(state, pfn(state))
 
             spf = timed_loop(pbody, jax.device_put(make_input()), iters, overhead)
             extras["pallas_twocall_lanczos3_fps"] = round(1.0 / spf, 1)
@@ -800,8 +815,7 @@ def main() -> None:
         efn = el.make_pretrained_upscaler(IN_H, IN_W, OUT_H, OUT_W)
 
         def ebody(state):
-            out = efn(state)
-            return out[:IN_H, :IN_W, :]
+            return chain_next(state, efn(state))
 
         # the gate metric (esrgan_fps >= 240): true serving rate sits within
         # ~1 fps of the gate, so sample it hardest (50-step chains x 5
@@ -815,6 +829,25 @@ def main() -> None:
         if getattr(efn, "quantized", False):
             arch += "-int8"
         log(f"upscale[esrgan   ] 1080p→4K {extras['esrgan_fps']:9.1f} fps (learned tier, {arch})")
+
+        # batched throughput tier (transcode --batch / upscale_batch): one
+        # vmapped program amortizes the graph's fixed dispatch costs on the
+        # MXU (esrgan_surgery7.py arm D); latency = 2 frames, so the live
+        # loop keeps the single-frame number above
+        bfn = el.make_pretrained_batch_upscaler(IN_H, IN_W, OUT_H, OUT_W)
+        pair = np.stack([make_input(), make_input(1)])
+
+        def bbody(state):
+            return chain_next(state, bfn(state))
+
+        spf2 = timed_loop(
+            bbody, jax.device_put(pair), max(iters // 4, 3), overhead
+        )
+        extras["esrgan_batch2_fps"] = round(2.0 / spf2, 1)
+        log(
+            f"upscale[esrgan-b2] 1080p→4K {extras['esrgan_batch2_fps']:9.1f} fps/frame "
+            f"(batch=2 throughput tier, {arch}; latency {spf2*1000:.2f} ms)"
+        )
     except Exception as e:  # noqa: BLE001
         log(f"esrgan bench failed: {e}")
     # performance learned tier (stride-8 ladder: NuScaler("dlss","performance"))
@@ -823,8 +856,7 @@ def main() -> None:
         if getattr(ffn, "arch", None) in ("tpu4b1", "tpu8", "tpu8w"):
 
             def fbody(state):
-                out = ffn(state)
-                return out[:IN_H, :IN_W, :]
+                return chain_next(state, ffn(state))
 
             spf = timed_loop(fbody, jax.device_put(make_input()), max(iters // 4, 3), overhead)
             extras["esrgan_fast_fps"] = round(1.0 / spf, 1)
