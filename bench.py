@@ -830,24 +830,11 @@ def main() -> None:
             arch += "-int8"
         log(f"upscale[esrgan   ] 1080p→4K {extras['esrgan_fps']:9.1f} fps (learned tier, {arch})")
 
-        # batched throughput tier (transcode --batch / upscale_batch): one
-        # vmapped program amortizes the graph's fixed dispatch costs on the
-        # MXU (esrgan_surgery7.py arm D); latency = 2 frames, so the live
-        # loop keeps the single-frame number above
-        bfn = el.make_pretrained_batch_upscaler(IN_H, IN_W, OUT_H, OUT_W)
-        pair = np.stack([make_input(), make_input(1)])
-
-        def bbody(state):
-            return chain_next(state, bfn(state))
-
-        spf2 = timed_loop(
-            bbody, jax.device_put(pair), max(iters // 4, 3), overhead
-        )
-        extras["esrgan_batch2_fps"] = round(2.0 / spf2, 1)
-        log(
-            f"upscale[esrgan-b2] 1080p→4K {extras['esrgan_batch2_fps']:9.1f} fps/frame "
-            f"(batch=2 throughput tier, {arch}; latency {spf2*1000:.2f} ms)"
-        )
+        # NOTE: no batch=2 line — single-chip batching is a measured
+        # negative at these shapes (3.805 vs 3.226 ms/frame on the honest
+        # pair, tools/experiments/esrgan_batch_honest.py r4); the batched
+        # program exists for mesh dp fan-out (esrgan_batch_sharded) and
+        # API grouping, not as a single-chip speed knob
     except Exception as e:  # noqa: BLE001
         log(f"esrgan bench failed: {e}")
     # performance learned tier (stride-8 ladder: NuScaler("dlss","performance"))

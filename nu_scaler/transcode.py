@@ -64,12 +64,15 @@ def transcode(
     input fps × N and output frame count = N·(n_in − 1) + 1.
 
     batch N groups N frames into ONE device program per upscale dispatch
-    (`upscale_batch`) — offline throughput at the cost of N× latency,
-    which a file-to-file transcode doesn't care about. On the learned
-    tier the MXU amortizes the serving graph's fixed costs across the
-    batch (tpu4-int8: 2.69 ms/frame at batch=2 vs 3.83 single,
-    tools/experiments/esrgan_surgery7.py); the final short group pads to
-    the steady batch size so only one batched program ever compiles.
+    (`upscale_batch`) — fewer host↔device round trips, and on a
+    multi-chip mesh the group shards data-parallel (N chips ≈ N×
+    throughput, `mesh.esrgan_batch_sharded`). On a SINGLE chip the
+    batched program itself is timing-neutral-to-negative at 4K serving
+    shapes (the graph already saturates the MXU — measured r4,
+    tools/experiments/esrgan_batch_honest.py), so the win here is
+    dispatch/transfer grouping, not kernel time. The final short group
+    pads to the steady batch size so only one batched program ever
+    compiles.
 
     Returns a stats dict (frames in/out, dims, wall seconds, output fps).
     """

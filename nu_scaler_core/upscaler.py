@@ -292,13 +292,13 @@ class PyAdvancedWgpuUpscaler(PyWgpuUpscaler):
 
     def upscale_batch(self, frames: Iterable[bytes]) -> list[bytes]:
         """Learned-tier batch path: ONE vmapped device program over the
-        stacked frames (`esrgan_lite.make_pretrained_batch_upscaler` — the
-        MXU amortizes the serving graph's fixed dispatch costs, 2.69 ms/
-        frame at batch=2 vs 3.83 single on tpu4-int8); a multi-device mesh
-        shards the batch data-parallel (`mesh.esrgan_batch_sharded`).
-        Classical tiers keep the batch-polymorphic base path. This is the
-        throughput tier (latency = batch × frame): transcode rides it, the
-        live loop keeps single-frame `upscale`."""
+        stacked frames (`esrgan_lite.make_pretrained_batch_upscaler`); a
+        multi-device mesh shards the batch data-parallel
+        (`mesh.esrgan_batch_sharded`, N chips ≈ N× throughput). Classical
+        tiers keep the batch-polymorphic base path. On a single chip the
+        win is host↔device round-trip grouping, not kernel time (measured
+        r4, tools/experiments/esrgan_batch_honest.py); the live loop keeps
+        single-frame `upscale` (latency)."""
         if getattr(self, "_serving_tier", "classical") != "learned":
             return super().upscale_batch(frames)
         self._check_ready()

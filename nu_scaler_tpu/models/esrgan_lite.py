@@ -493,22 +493,23 @@ def make_pretrained_batch_upscaler(
 ):
     """Batched learned serving: ONE compiled program over u8 RGBA
     [N, H, W, 4] (vmap of the fused single-frame graph), u8 [N, OH, OW, 4]
-    out — the offline/transcode THROUGHPUT tier.
+    out — the grouped-dispatch form `upscale_batch` / `transcode --batch`
+    ride, and the body `mesh.esrgan_batch_sharded` shards dp over a mesh
+    (N chips ≈ N× throughput — the rayon-fan-out→mesh mapping of SURVEY
+    §2.6, upscale/mod.rs:609-640).
 
-    Batching lets the MXU amortize the serving graph's fixed per-dispatch
-    costs (s2d/head/base/d2s intercept ≈ 1.95 ms of tpu4-int8's 3.83 ms,
-    tools/experiments/esrgan_surgery7.py): batch=2 measured 2.688 ms/frame
-    (372 fps) vs 3.829 single on the production tpu4-int8 graph — +42%
-    throughput for 2× latency. Live serving therefore keeps the
-    single-frame program; `nu_scaler.transcode --batch N` and
-    `PyAdvancedWgpuUpscaler.upscale_batch` (learned tier) ride this one.
+    SINGLE-chip batch>1 is a measured NEGATIVE at 1080p→4K serving shapes
+    (r4, tools/experiments/esrgan_batch_honest.py): batch=2 runs 3.805 vs
+    3.226 ms/frame on tpu4b2-int8+io — the serving graph already saturates
+    the MXU, and the batched relayouts cost more than the dispatch
+    overhead they amortize. (esrgan_surgery7.py arm D's +42% was an
+    artifact: it stacked the SAME frame inside the jitted graph, which XLA
+    elided as a broadcast.) Use this for mesh fan-out and API batch
+    grouping, not as a single-chip speed knob — live serving keeps the
+    single-frame program either way.
 
     Batch-size polymorphic: each distinct N compiles once (transcode pads
     its final short group to the steady batch to avoid a second program).
-    The reference's batch story is a rayon fan-out over CPU threads
-    (upscale/mod.rs:609-640) — here the batch is one device program, and
-    on a multi-chip mesh the same vmapped body shards data-parallel
-    (parallel/mesh.esrgan_batch_sharded).
     """
     single = make_pretrained_upscaler(in_h, in_w, out_h, out_w, dtype, prefer)
     batched = jax.jit(jax.vmap(single))
@@ -544,36 +545,39 @@ def make_fast_upscaler(
 # ladder (260 fps ≥ 240 gate) while its bf16 form (215 fps) stays a
 # lower-priority fallback.
 _ARCH_LADDER = {
-    # the held-out quality PEAK: tpu4 in bf16 (3 residual blocks, 80k steps,
-    # +5.84 dB / +0.098 SSIM vs lanczos3, 215 fps on the fused graph) —
-    # served by NuScaler("dlss", "ultra"); plain "dlss" requests keep the
-    # ≥240 fps quality ladder below
+    # the held-out quality PEAK, served by NuScaler("dlss", "ultra") in
+    # bf16 (never quantized). r4: the distill+down_mix tpu4b2 BEATS the
+    # 3-block tpu4 on full eval (+6.21 vs +5.84 dB; SSIM −0.004 near-tie)
+    # while being faster — the 2-block student leads; plain "dlss"
+    # requests keep the ≥240 fps quality ladder below
     "ultra": (
-        ("tpu4", dict(stride=4, features=128), None),
         ("tpu4b2", dict(stride=4, features=128, blocks=2), None),
+        ("tpu4", dict(stride=4, features=128), None),
         ("tpu", {}, None),
     ),
     "quality": (
-        # tpu4-int8 (r3): the int8 MXU trunk clears the fps gate with the
-        # FULL 3-block net — 260.3 fps at held-out +5.66 dB / +0.096 SSIM
-        # (2-seed +5.05/+0.100) vs lanczos3 (int8_ladder_probe.py). Beats
-        # the bf16 tpu4b2 point (240.5 fps, +5.40) on both axes.
+        # tpu4b2-int8 (r4): the distill+down_mix fine-tune (teacher tpu4,
+        # half the clip pool rendered at 2× and area-downsampled) lifted
+        # the 2-block net PAST its 3-block teacher — held-out int8 twin
+        # +5.67 dB / +0.090 SSIM 3-seed (+5.44/+0.094 2-seed; bf16 +6.21)
+        # at 283 fps honest-chained (3.531 ms, surgery8) — dominating the
+        # r3 head tpu4-int8 (260.3 fps at +5.04 2-seed) on BOTH axes.
+        ("tpu4b2", dict(stride=4, features=128, blocks=2), "quant"),
+        # tpu4-int8 (r3 head): the full 3-block net, 260.3 fps at +5.04
+        # (2-seed, served grid) — fallback when tpu4b2 calibration is absent.
         ("tpu4", dict(stride=4, features=128), "quant"),
-        # tpu4b2 = tpu4 minus one residual block (r3, 40k steps): int8
-        # 277.5 fps at +4.90/+0.090 (2-seed +4.48); bf16 240.5 fps at
-        # +5.40/+0.094 — the fallback when tpu4 calibration is absent.
         ("tpu4b2", dict(stride=4, features=128, blocks=2), None),
         ("tpu4", dict(stride=4, features=128), None),
         ("tpu", {}, None),
     ),
     "performance": (
         # tpu4b1 (r3, warm-started from tpu4b2) DOMINATES the stride-8
-        # trunks on both axes: +2.21 dB / +0.046 SSIM held-out at 254 fps
-        # bf16 — and 305.0 fps at +2.36 dB on the int8 trunk
-        # (int8_ladder_probe.py) — vs tpu8w's +1.98 dB at 202 fps. The
-        # stride-4 phase reconstruction keeps the spatial detail the 16×16-
-        # phase stride-8 tail loses, and one residual block is enough to
-        # beat C=192 at 135p.
+        # trunks on both axes — vs tpu8w's +1.98 dB at 202 fps. r4: io-int8
+        # (128-lane head/base) serves **352.3 fps at +2.31 dB / +0.048
+        # SSIM** 3-seed (trunk-only int8 was 300-307 at +2.36 — io costs
+        # 0.05 dB for +52 fps). The stride-4 phase reconstruction keeps
+        # the spatial detail the 16×16-phase stride-8 tail loses, and one
+        # residual block is enough to beat C=192 at 135p.
         ("tpu4b1", dict(stride=4, features=128, blocks=1), None),
         ("tpu8w", dict(stride=8, features=192), None),
         ("tpu8", dict(stride=8, features=128), None),
@@ -984,9 +988,19 @@ def make_serving_fn_fused(model, params, in_h, in_w, dtype=jnp.bfloat16,
             head_kq, head_dq = _quant_kernel_i8(head_k_np)
             head_kq, head_dq = jnp.asarray(head_kq), jnp.asarray(head_dq)
         if "base" in quant_scales and not (model.base_impl == "sparse"):
-            base_kq, base_dq = _quant_kernel_i8_dc(
-                _bilinear_base_kernel(4, up, st).astype(np.float32)
-            )
+            # run the int8 base on the SAME 128-lane-padded input as the
+            # head: the 64-in int8 contraction alone gains nothing (the
+            # r3 io probe's zero), but lane-filled it measured −0.20 ms
+            # in-context (esrgan_surgery7.py "base int8@128"); the padded
+            # kernel rows are zero so edge-padding the zero lanes is exact
+            base_k_np = _bilinear_base_kernel(4, up, st).astype(np.float32)
+            if pad_c:
+                base_k_np = np.concatenate(
+                    [base_k_np,
+                     np.zeros((3, 3, pad_c, base_k_np.shape[-1]), np.float32)],
+                    axis=2,
+                )
+            base_kq, base_dq = _quant_kernel_i8_dc(base_k_np)
             base_kq, base_dq = jnp.asarray(base_kq), jnp.asarray(base_dq)
     trunk_k = jnp.asarray(np.asarray(p["trunk"]["kernel"], np.float32))
     trunk_b = jnp.asarray(np.asarray(p["trunk"]["bias"], np.float32))
@@ -1054,11 +1068,14 @@ def make_serving_fn_fused(model, params, in_h, in_w, dtype=jnp.bfloat16,
                 red = jnp.einsum("nhwi,ik->nhwk", sh, a_m)
                 base = base + jnp.einsum("nhwk,ko->nhwo", red, b_m)
         else:
-            sp = jnp.pad(s2d, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
             if quant_scales is not None and "base" in quant_scales:
+                sp = jnp.pad(
+                    s2d_head, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge"
+                )  # 128-lane int8 base (zero lanes edge-pad to zero — exact)
                 base = _conv_i8(sp, base_kq, base_dq, None,
                                 255.0 * quant_scales["base"], pad="VALID")
             else:
+                sp = jnp.pad(s2d, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
                 base = conv(sp, base_k, pad="VALID")
         phases = tail + base  # [1, nh, nw, r²·4] raw-scale RGBA-interleaved
         # quantize in the compute dtype: bf16 phases carry ≤0.5 ulp at the

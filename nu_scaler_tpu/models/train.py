@@ -406,6 +406,9 @@ if __name__ == "__main__":
     p.add_argument("--calibrate", action="store_true", help="calibrate int8 "
                    "activation scales for the latest checkpoint (training "
                    "clips only) and save act_scales.json next to it")
+    p.add_argument("--io", action="store_true", help="with --calibrate: also "
+                   "write head/base io-int8 entries (lane-filled @128 int8 "
+                   "head+base convs — the 312-fps tpu4b2 serving point)")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend "
                    "(the site config pins JAX_PLATFORMS=axon; env vars alone "
                    "don't override it)")
@@ -419,6 +422,15 @@ if __name__ == "__main__":
             raise SystemExit(f"no checkpoint for {args.arch}")
         params, step = restored
         scales = el.default_trunk_scales(model, params)
+        if args.io:
+            # head/base io-int8 entries: normalized-domain input maxima
+            # (u8 frames are exact 0..255 → 1.0 normalized; serving
+            # multiplies by 255). Only pays lane-filled: the serving
+            # builder pads both convs to 128 input lanes
+            # (esrgan_surgery7.py / tools/experiments/io128 probe r4:
+            # tpu4b2 3.531 → 3.204 ms for −0.15 dB held-out)
+            scales["head"] = 1.0
+            scales["base"] = 1.0
         path = save_act_scales(scales, args.stages, step, args.arch)
         print(f"{args.arch}@{step} int8 scales → {path}")
         for k, v in scales.items():

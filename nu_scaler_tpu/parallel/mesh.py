@@ -465,10 +465,10 @@ def esrgan_batch_sharded(
     `upscale_batch_sharded`). Ragged batches pad by repeating the last
     frame, like `upscale_batch_sharded`.
 
-    Single-device meshes still pay off: the vmapped batch amortizes the
-    serving graph's fixed dispatch costs on the MXU (batch=2 measured
-    2.688 ms/frame vs 3.829 single on tpu4-int8 —
-    tools/experiments/esrgan_surgery7.py arm D)."""
+    The win is the mesh fan-out (and dispatch grouping); on a SINGLE chip
+    the batched program is timing-neutral-to-negative at 4K serving
+    shapes — the graph already saturates the MXU (measured r4,
+    tools/experiments/esrgan_batch_honest.py)."""
     from nu_scaler_tpu.models import esrgan_lite
 
     if mesh is None:

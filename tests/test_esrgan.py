@@ -188,12 +188,14 @@ def test_facade_dlss_performance_uses_fast_ladder():
     assert getattr(up, "learned_prefer", "quality") == "performance"
     up.initialize(64, 32, 128, 64)
     assert getattr(up._fn, "arch", None) in ("tpu4b1", "tpu8", "tpu8w")
-    # dlss×ultra = the held-out quality peak (tpu4 leads its ladder)
+    # dlss×ultra = the held-out quality peak (r4: the distilled tpu4b2
+    # beats tpu4 on full bf16 eval and leads the ultra ladder)
     up_u = nsc.NuScaler.with_technology("dlss", "ultra").upscaler
     assert getattr(up_u, "learned_prefer", None) == "ultra"
     up_u.initialize(64, 32, 128, 64)
-    if os.path.exists(os.path.join(ckpt_dir(1, "tpu4"), "latest.txt")):
-        assert getattr(up_u._fn, "arch", None) == "tpu4"
+    if os.path.exists(os.path.join(ckpt_dir(1, "tpu4b2"), "latest.txt")):
+        assert getattr(up_u._fn, "arch", None) == "tpu4b2"
+        assert not up_u._fn.quantized  # ultra never quantizes
     # plain dlss (quality) = the >=240 fps quality-first ladder
     up_q = nsc.NuScaler.with_technology("dlss", "quality").upscaler
     up_q.initialize(64, 32, 128, 64)
@@ -373,19 +375,20 @@ def test_int8_fused_serving_matches_quant_apply(rng):
 
 def test_quality_ladder_serves_int8_when_calibrated(monkeypatch):
     """With a matching act_scales.json the quality ladder head is the
-    quant-gated tpu4-int8 entry (260 fps ≥ the 240 gate at +5.66 dB
-    held-out); without calibration the bf16 fallback order applies and the
-    "quant"-mode entry is skipped. "ultra" never quantizes (fidelity peak)."""
+    quant-gated tpu4b2-int8 entry (283 fps ≥ the 240 gate at +5.67 dB
+    held-out 3-seed, r4 distill+down_mix); without calibration the bf16
+    fallback order applies and the "quant"-mode entries are skipped.
+    "ultra" never quantizes (fidelity peak)."""
     import os
     import pytest
 
     from nu_scaler_tpu.models import train as T
 
-    if T.load_act_scales(1, "tpu4") is None:
-        pytest.skip("no tpu4 int8 calibration")
+    if T.load_act_scales(1, "tpu4b2") is None:
+        pytest.skip("no tpu4b2 int8 calibration")
 
     q = el._build_pretrained(32, 64, 64, 128, jnp.bfloat16, 1, "quality")
-    assert q.arch == "tpu4" and q.quantized
+    assert q.arch == "tpu4b2" and q.quantized
 
     u = el._build_pretrained(32, 64, 64, 128, jnp.bfloat16, 1, "ultra")
     assert not u.quantized

@@ -18,6 +18,13 @@ Arms (1080p→4K, chained fori-style live loop, slope-timed):
      faster once 128 lanes are already full?
   D. batch=2 vmap throughput (transcode-style amortization; latency 2×).
 
+CAVEAT (r4, post-hoc): arm D's +42% batch win was an ARTIFACT — it built
+jnp.stack([u8]*batch) INSIDE the jitted graph, so the stacked operand was
+provably a broadcast of one frame and XLA elided the duplicate lane's
+work. The honest probe (device-resident distinct-pair input,
+esrgan_batch_honest.py) measures single-chip batch=2 SLOWER per frame on
+every int8 graph. Arms A-C (single-frame, in-context ablations) stand.
+
 Run on the TPU, background, uninterrupted.
 """
 
