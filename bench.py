@@ -756,6 +756,27 @@ def main() -> None:
         }
         log(f"pipeline[live] failed: {e}")
     try:
+        # preview delivery: the reference GUI only ever presented a
+        # preview-sized QPixmap (main.py:1117-1173) — 4:2:0 at 1080 rows
+        # is the realistic GUI payload (4× fewer bytes than 4K 4:2:0); the
+        # full-res 4:2:0 line above remains the file/stream-sink number
+        res_live_prev = bench_live(
+            n_frames=10 if dev.platform == "tpu" else 4, preview_h=1080
+        )
+        log(
+            f"pipeline[live-pv] {res_live_prev['fps']:9.1f} out-fps generated / "
+            f"{res_live_prev['presented_fps']:.1f} presented ({res_live_prev['delivery']}, "
+            f"{res_live_prev['payload_mb_in']} MB in + {res_live_prev['payload_mb_out']} MB/frame out; "
+            f"{res_live_prev['presented']} presented / {res_live_prev['skipped']} skipped of "
+            f"{res_live_prev['output_frames']}) — preview-resolution delivery"
+        )
+    except Exception as e:  # noqa: BLE001
+        res_live_prev = {
+            "fps": 0.0, "presented_fps": 0.0, "delivery": "?",
+            "presented": 0, "skipped": 0, "output_frames": 0,
+        }
+        log(f"pipeline[live-pv] failed: {e}")
+    try:
         # the pre-r4 full-delivery loop: full-res RGBA, every frame fetched
         res_live_rgba = bench_live(
             n_frames=4 if dev.platform == "tpu" else 2,
@@ -916,6 +937,11 @@ def main() -> None:
                 "live_delivery": res_live["delivery"],
                 "live_payload_mb_in": res_live["payload_mb_in"],
                 "live_payload_mb_out": res_live["payload_mb_out"],
+                "live_preview_fps": round(res_live_prev["fps"], 2),
+                "live_preview_presented_fps": round(
+                    res_live_prev["presented_fps"], 2
+                ),
+                "live_preview_delivery": res_live_prev["delivery"],
                 "live_full_rgba_fps": round(res_live_rgba["fps"], 2),
                 "live_p50_step_ms": round(res_live["p50_step_ms"], 1),
                 "live_p99_step_ms": round(res_live["p99_step_ms"], 1),
