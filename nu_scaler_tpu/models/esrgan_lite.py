@@ -541,9 +541,9 @@ def make_fast_upscaler(
 # trunks before falling back to the quality order.
 # Ladder entries are (arch, model kwargs, mode): mode "quant" means the
 # entry only serves when an int8 calibration file matches the checkpoint
-# (load_act_scales) — used to put tpu4-int8 at the head of the quality
-# ladder (260 fps ≥ 240 gate) while its bf16 form (215 fps) stays a
-# lower-priority fallback.
+# (load_act_scales) — used to put the int8 forms at the head of the
+# quality ladder (r4: tpu4b2-int8+io at 312 fps ≥ the 240 gate) while the
+# bf16 forms stay lower-priority fallbacks.
 _ARCH_LADDER = {
     # the held-out quality PEAK, served by NuScaler("dlss", "ultra") in
     # bf16 (never quantized). r4: the distill+down_mix tpu4b2 BEATS the
