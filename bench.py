@@ -905,6 +905,49 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         log(f"esrgan quality eval skipped: {e}")
 
+    # 4x learned tier (540p -> 4K, stages=2): the DLSS ultra-performance
+    # role (dlss-sys quality mode grid). Same chain_next harness; quality
+    # eval runs on the exact served numeric grid (int8 twin when quantized).
+    try:
+        e4 = el.make_pretrained_upscaler(540, 960, OUT_H, OUT_W)
+        if getattr(e4, "arch", "lite") != "lite":
+
+            def e4body(state):
+                return chain_next(state, e4(state))
+
+            x4_in = generate_test_pattern(960, 540)
+            spf = timed_loop(
+                e4body, jax.device_put(x4_in), max(iters // 4, 3), overhead
+            )
+            extras["esrgan_x4_fps"] = round(1.0 / spf, 1)
+            _a4 = e4.arch + ("-int8" if getattr(e4, "quantized", False) else "")
+            log(
+                f"upscale[esrgan-x4] 540p→4K  {extras['esrgan_x4_fps']:9.1f} fps "
+                f"(4x learned tier, {_a4})"
+            )
+            _p4, _s4 = _tr.load_checkpoint(2, e4.arch)
+            _kw4 = {en[0]: en[1] for en in el._ARCH_LADDER["quality"]}.get(
+                e4.arch, dict(stride=4, features=128)
+            )
+            _m4 = el.ESRGANLiteTPU(upscale=4, **_kw4)
+            if getattr(e4, "quantized", False):
+                mf4 = el.make_quant_apply(
+                    _m4, _p4, _tr.load_act_scales(2, e4.arch, _s4)
+                )
+            else:
+                mf4 = jax.jit(lambda x: _m4.apply(_p4, x))
+            q4 = eval_vs_lanczos3(mf4, scale=4, seeds=(900, 901))
+            extras["esrgan_x4_psnr_delta_db_vs_lanczos3"] = round(
+                q4["psnr_delta_db"], 2
+            )
+            log(
+                f"esrgan-x4 held-out quality: {q4['net_psnr_db']:.2f} dB vs "
+                f"lanczos3 {q4['lanczos3_psnr_db']:.2f} dB "
+                f"(Δ {q4['psnr_delta_db']:+.2f} dB, ΔSSIM {q4['ssim_delta']:+.4f})"
+            )
+    except Exception as e:  # noqa: BLE001
+        log(f"esrgan x4 bench skipped: {e}")
+
     # headline = the best full-pipeline implementation of the north-star
     # dataflow; blend-f computes the identical two output frames per step
     # (upscale bit-exact, blend ±1 on f32 rounding ties) in one fused kernel
