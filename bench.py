@@ -600,6 +600,46 @@ def run_fidelity_gates(extras: dict, failures: list) -> None:
     else:
         log("fidelity[psnr_esrgan_db] skipped: no esrgan checkpoint")
 
+    # 7) the 4x tier's served grid vs its numeric twin — same contract as
+    #    (6), at the x4 serving point (stages=2 checkpoint; 540p→4K at
+    #    bench dims — derived from OUT so the CPU-mesh test dims scale)
+    in4_h, in4_w = OUT_H // 4, OUT_W // 4
+    try:
+        e4fn = (
+            el.make_pretrained_upscaler(in4_h, in4_w, OUT_H, OUT_W)
+            if have_esrgan
+            else None
+        )
+        have_x4 = e4fn is not None and getattr(e4fn, "arch", "lite") != "lite"
+    except Exception:  # noqa: BLE001
+        have_x4 = False
+    if have_x4:
+        frame4 = generate_test_pattern(in4_w, in4_h)
+        dev_4 = jax.device_put(frame4)
+
+        def _g_esrgan_x4():
+            arch = e4fn.arch
+            arch_kw = {e[0]: e[1] for e in el._ARCH_LADDER["quality"]}.get(
+                arch, dict(stride=4, features=128)
+            )
+            params, step = etrain.load_checkpoint(2, arch)
+            model = el.ESRGANLiteTPU(upscale=4, **arch_kw)
+            if getattr(e4fn, "quantized", False):
+                twin_fn = el.make_quant_apply(
+                    model, params, etrain.load_act_scales(2, arch, step)
+                )
+            else:
+                twin_fn = jax.jit(lambda x: model.apply(params, x))
+            served = np.asarray(e4fn(dev_4))
+            lr01 = jnp.asarray(frame4[None, ..., :3].astype(np.float32) / 255.0)
+            twin = np.asarray(twin_fn(lr01))[0]
+            twin_u8 = np.clip(np.round(twin * 255.0), 0, 255).astype(np.uint8)
+            return psnr(served[..., :3], twin_u8)
+
+        gate("psnr_esrgan_x4_db", 42.0, _g_esrgan_x4)
+    else:
+        log("fidelity[psnr_esrgan_x4_db] skipped: no x4 checkpoint")
+
 
 def bench_upscale(algorithm: str, iters: int, overhead_s: float) -> float:
     up = resample.make_resampler(IN_H, IN_W, OUT_H, OUT_W, algorithm)
