@@ -297,8 +297,58 @@ def bench_pipeline(mode: str, iters: int, overhead_s: float) -> dict:
     raise ValueError(f"unknown bench mode {mode!r}")
 
 
+def _async_fetch_supported() -> bool:
+    """Probe copy_to_host_async once: the live presenter overlaps the D2H
+    fetch with the next step's compute when the backend supports it (the
+    axon tunnel's jax.Array may not)."""
+    global _ASYNC_FETCH
+    if _ASYNC_FETCH is None:
+        try:
+            a = jnp.ones((8, 8), jnp.uint8) * 3
+            a.copy_to_host_async()
+            _ASYNC_FETCH = int(np.asarray(a)[0, 0]) == 3
+        except Exception:  # noqa: BLE001
+            _ASYNC_FETCH = False
+    return _ASYNC_FETCH
+
+
+_ASYNC_FETCH: bool | None = None
+
+
+class _AsyncPresenter:
+    """One-slot pipelined presenter: start the D2H copy for payload k, let it
+    ride the link while the host dispatches step k+1, materialize it on the
+    next present. Falls back to synchronous fetch when the backend's
+    copy_to_host_async is a no-op (np.asarray then just blocks)."""
+
+    def __init__(self, fetch, write):
+        self._fetch = fetch
+        self._write = write
+        self._pending = None
+
+    def present(self, payload) -> None:
+        parts = payload if isinstance(payload, tuple) else (payload,)
+        for p in parts:
+            try:
+                p.copy_to_host_async()
+            except Exception:  # noqa: BLE001
+                pass
+        done = self._pending
+        self._pending = payload
+        if done is not None:
+            self._write(self._fetch(done))
+
+    def flush(self) -> int:
+        if self._pending is not None:
+            self._write(self._fetch(self._pending))
+            self._pending = None
+            return 1
+        return 0
+
+
 def bench_live(n_frames: int = 10, warmup: int = 3, fmt: str | None = None,
-               preview_h: int | None = None, adaptive: bool = True) -> dict:
+               preview_h: int | None = None, adaptive: bool = True,
+               deliver_which: str | None = None) -> dict:
     """BASELINE config #4 — the consolidated LIVE pipeline number: planar
     4:2:0 capture frames (the Y4M capture path's native format, 1.5 B/px)
     → on-device RGBA → fused blend-interp + lanczos3 4K upscale
@@ -318,6 +368,19 @@ def bench_live(n_frames: int = 10, warmup: int = 3, fmt: str | None = None,
     fmt/preview_h come from NU_LIVE_DELIVERY / NU_LIVE_PREVIEW_H when unset;
     `adaptive=False` fetches every frame (the pre-r4 full-delivery loop —
     kept as the `live_full_rgba_fps` comparison line).
+
+    deliver_which ("all" | "mid", env NU_LIVE_DELIVER_WHICH): "mid" delivers
+    ONE frame per capture tick (the interpolated mid) instead of both mid +
+    cur — the parity-faithful presenter cadence (the reference GUI blitted
+    exactly one preview pixmap per tick, main.py:1117-1173) at half the
+    link payload. Generated out-fps still counts both frames; only the
+    presented stream narrows.
+
+    The presenter is double-buffered when the backend supports
+    copy_to_host_async: the D2H copy for step k's payload rides the link
+    while the host dispatches step k+1, so presented fps approaches the
+    raw link ceiling instead of serializing fetch after compute
+    (VERDICT r4 #4).
     """
     from nu_scaler.present import AdaptiveFrameStats, TripleBuffer
     from nu_scaler_tpu.capture.sources import SyntheticSource
@@ -329,6 +392,8 @@ def bench_live(n_frames: int = 10, warmup: int = 3, fmt: str | None = None,
         fmt = os.environ.get("NU_LIVE_DELIVERY", "yuv420")
     if preview_h is None:
         preview_h = int(os.environ.get("NU_LIVE_PREVIEW_H", "0"))
+    if deliver_which is None:
+        deliver_which = os.environ.get("NU_LIVE_DELIVER_WHICH", "all")
 
     src = SyntheticSource(IN_W, IN_H)
     # capture-side 4:2:0 planes, precomputed like frames from a Y4M source
@@ -338,7 +403,11 @@ def bench_live(n_frames: int = 10, warmup: int = 3, fmt: str | None = None,
     try:
         from nu_scaler_tpu.kernels.resample_pallas import make_pallas_fused_blend
 
-        fb = make_pallas_fused_blend(IN_H, IN_W, OUT_H, OUT_W, "lanczos3", 0.5)
+        # tuple time_t: shares the lru-cached (and therefore the compiled)
+        # kernel with the headline blend_fused run and the blend gate — the
+        # r4 bench compiled an identical kernel twice because `0.5` and
+        # `(0.5,)` are different cache keys
+        fb = make_pallas_fused_blend(IN_H, IN_W, OUT_H, OUT_W, "lanczos3", (0.5,))
     except Exception:  # noqa: BLE001
         fb = None
     deliver = color.make_delivery_fn(OUT_H, OUT_W, fmt, preview_h)
@@ -369,24 +438,43 @@ def bench_live(n_frames: int = 10, warmup: int = 3, fmt: str | None = None,
     stats = AdaptiveFrameStats(target_fps=target_fps, enable_frame_skipping=adaptive)
 
     skips = presented = 0
+    counts = {"presented": 0}
+
+    def _write(host_payload):
+        buf.write(host_payload)
+        assert buf.read_latest() is not None
+        counts["presented"] += 1
+
+    use_async = adaptive and _async_fetch_supported()
+    presenter = _AsyncPresenter(pipe._fetch, _write) if use_async else None
     steps: list[float] = []
     pipe.frames_out = 0
     t0 = time.perf_counter()
     for i in range(warmup, warmup + n_frames):
         s0 = time.perf_counter()
         outs = pipe.put_device(frames[i])  # capture → interp → upscale → deliver
+        if deliver_which == "mid":
+            # one presented frame per capture tick (the reference's cadence);
+            # the cur frame is still generated — it feeds the next step's
+            # interp — but never crosses the link
+            outs = outs[:1]
         for out in outs:  # present: the skip decision gates the D2H fetch
             tick = time.perf_counter()
             if adaptive and stats.should_skip(tick - s0):
                 skips += 1
                 continue
-            buf.write(pipe._fetch(out))
-            latest = buf.read_latest()
-            assert latest is not None
-            presented += 1
+            if presenter is not None:
+                # pipelined present: starts this payload's D2H, materializes
+                # the PREVIOUS one (whose copy overlapped our dispatch)
+                presenter.present(out)
+            else:
+                _write(pipe._fetch(out))
             stats.on_presented(upscale_time_ms=(time.perf_counter() - s0) * 1e3, now=tick)
         steps.append((time.perf_counter() - s0) * 1000.0)
+    if presenter is not None:
+        presenter.flush()
     total = time.perf_counter() - t0
+    presented = counts["presented"]
     for out in pipe.drain():
         buf.write(out)
     dh, dw = deliver.out_hw if deliver is not None else (OUT_H, OUT_W)
@@ -398,27 +486,195 @@ def bench_live(n_frames: int = 10, warmup: int = 3, fmt: str | None = None,
         "skipped": skips,
         "presented": presented,
         "output_frames": pipe.frames_out,
-        "delivery": f"{fmt}@{dh}x{dw}",
+        "delivery": f"{fmt}@{dh}x{dw}"
+        + ("/mid-only" if deliver_which == "mid" else "")
+        + ("/async-fetch" if use_async else ""),
         "payload_mb_in": round(color.payload_bytes("yuv420", IN_H, IN_W) / 1e6, 2),
         "payload_mb_out": round(color.payload_bytes(fmt, dh, dw) / 1e6, 2),
         "target_fps": round(target_fps, 2),
     }
 
 
-def run_fidelity_gates(extras: dict, failures: list) -> None:
+_GOLDEN_NPZ = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "assets", "bench_goldens_4k.npz"
+)
+_GOLDEN_STORE: dict | None = None
+
+
+def _golden_cache() -> dict:
+    """Disk cache for the canonical-dims host goldens (committed to the
+    repo). The f64 separable goldens + the EASU/RCAS pixel golden at
+    1080p→4K cost minutes of host CPU per bench run — the second half of
+    the BENCH_r04 timeout. Inputs are deterministic (make_input's fixed
+    test pattern), so the goldens are content-addressed: the npz stores the
+    input-frame hash and is ignored on mismatch. A stale/wrong cache can
+    only FAIL a gate (device-vs-golden compare), never mask a regression.
+    Regenerate with `python bench.py --write-goldens` after changing the
+    pattern, dims, or reference semantics."""
+    global _GOLDEN_STORE
+    if _GOLDEN_STORE is None:
+        _GOLDEN_STORE = {}
+        if (IN_H, IN_W, OUT_H, OUT_W) == (1080, 1920, 2160, 3840) and os.path.exists(
+            _GOLDEN_NPZ
+        ):
+            try:
+                blob = np.load(_GOLDEN_NPZ)
+                import hashlib
+
+                want = hashlib.sha256(make_input().tobytes()).hexdigest()[:16]
+                if str(blob["input_hash"]) == want:
+                    _GOLDEN_STORE = {k: blob[k] for k in blob.files}
+                    log(f"golden cache: {len(_GOLDEN_STORE)} entries loaded")
+                else:
+                    log("golden cache: input hash mismatch — recomputing live")
+            except Exception as e:  # noqa: BLE001
+                log(f"golden cache unreadable ({e}) — recomputing live")
+    return _GOLDEN_STORE
+
+
+def _resample_golden(which: str, frame: np.ndarray, algo: str) -> np.ndarray:
+    """separable_resample_ref with the disk cache; `which` names the input
+    ("a" = make_input, "b" = its 16-px roll)."""
+    from nu_scaler_tpu.kernels import reference as ref
+
+    if (IN_H, IN_W, OUT_H, OUT_W) != (1080, 1920, 2160, 3840):
+        # non-canonical dims (CPU-mesh tests): tiny goldens, no cache
+        return ref.separable_resample_ref(frame, OUT_H, OUT_W, algo)
+    key = f"resample_{algo}_{which}"
+    store = _golden_cache()
+    if key not in store:
+        store[key] = ref.separable_resample_ref(frame, OUT_H, OUT_W, algo)
+    return store[key]
+
+
+def _fsr_golden(frame: np.ndarray) -> np.ndarray:
+    from nu_scaler_tpu.kernels import reference as ref
+
+    s = ref.FSR_SHARPNESS["quality"]
+    if (IN_H, IN_W, OUT_H, OUT_W) != (1080, 1920, 2160, 3840):
+        return ref.rcas_ref(ref.easu_ref(frame, OUT_H, OUT_W, s), s)
+    store = _golden_cache()
+    if "fsr_a" not in store:
+        store["fsr_a"] = ref.rcas_ref(ref.easu_ref(frame, OUT_H, OUT_W, s), s)
+    return store["fsr_a"]
+
+
+def write_golden_cache() -> str:
+    """Precompute + persist the canonical-dims goldens (committed; the
+    driver's fresh cold-cache checkout then runs the gates in seconds)."""
+    import hashlib
+
+    assert (IN_H, IN_W, OUT_H, OUT_W) == (1080, 1920, 2160, 3840)
+    frame = make_input()
+    cur = np.roll(frame, 16, axis=1)
+    entries: dict = {
+        "input_hash": hashlib.sha256(frame.tobytes()).hexdigest()[:16]
+    }
+    from nu_scaler_tpu.kernels import reference as ref
+
+    for algo in ("bilinear", "bicubic", "lanczos3"):
+        log(f"golden: resample {algo} (a)...")
+        entries[f"resample_{algo}_a"] = ref.separable_resample_ref(
+            frame, OUT_H, OUT_W, algo
+        )
+    log("golden: resample lanczos3 (b)...")
+    entries["resample_lanczos3_b"] = ref.separable_resample_ref(
+        cur, OUT_H, OUT_W, "lanczos3"
+    )
+    log("golden: fsr easu+rcas (a)...")
+    s = ref.FSR_SHARPNESS["quality"]
+    entries["fsr_a"] = ref.rcas_ref(ref.easu_ref(frame, OUT_H, OUT_W, s), s)
+    os.makedirs(os.path.dirname(_GOLDEN_NPZ), exist_ok=True)
+    np.savez_compressed(_GOLDEN_NPZ, **entries)
+    sz = os.path.getsize(_GOLDEN_NPZ) / 1e6
+    log(f"golden cache written: {_GOLDEN_NPZ} ({sz:.1f} MB)")
+    return _GOLDEN_NPZ
+
+
+def _soft_twin_fn():
+    """Jitted XLA soft-warp twin with t as a TRACED argument — ONE compiled
+    program serves the flow_soft gate (t=0.5) and both soft3x mids
+    (t=1/3, 2/3)."""
+    global _SOFT_TWIN
+    if _SOFT_TWIN is None:
+        from nu_scaler_tpu.ops import interpolate as interp
+
+        _SOFT_TWIN = jax.jit(
+            lambda a, b, dense, t: interp.warp_blend_fast(
+                a, b, dense, t, tile=interp.WARP_TILE, overlap=True,
+                pallas_ok=False,
+            )
+        )
+    return _SOFT_TWIN
+
+
+_SOFT_TWIN = None
+
+
+def _twin_model_fn(stages: int, upscale: int, served_fn):
+    """The served tier's float-domain twin on the SAME numeric grid — the
+    int8 integer-grid twin (`make_quant_apply`) when the tier serves
+    quantized, the plain bf16 apply otherwise. Shared by the fidelity gates
+    AND the held-out quality evals so the two contracts can't drift
+    (ADVICE r4). Returns ([0,1]-domain batch apply fn, twin_kind)."""
+    from nu_scaler_tpu.models import esrgan_lite as el
+    from nu_scaler_tpu.models import train as etrain
+
+    arch = served_fn.arch
+    arch_kw = {e[0]: e[1] for e in el._ARCH_LADDER["quality"]}.get(
+        arch, dict(stride=4, features=128)
+    )
+    params, step = etrain.load_checkpoint(stages, arch)
+    model = el.ESRGANLiteTPU(upscale=upscale, **arch_kw)
+    if getattr(served_fn, "quantized", False):
+        twin_fn = el.make_quant_apply(
+            model, params, etrain.load_act_scales(stages, arch, step)
+        )
+        kind = "int8-grid"
+    else:
+        twin_fn = jax.jit(lambda x: model.apply(params, x))
+        kind = "bf16"
+    return twin_fn, kind
+
+
+def _gate_esrgan_twin(stages: int, upscale: int, frame: np.ndarray, served_fn):
+    """Learned-tier twin gate (ADVICE r4): the SERVED fused raw-domain graph
+    vs its `_twin_model_fn` twin. Raw-domain bf16 (ulp 1 at 255) vs
+    [0,1]-domain (ulp ~0.004) leaves ~1 LSB of association noise, hence the
+    42 dB threshold rather than the classical 50 (same comparison
+    tests/test_esrgan.py gates on random init). Returns (psnr_db, kind)."""
+    from nu_scaler_tpu.ops.metrics import psnr
+
+    twin_fn, kind = _twin_model_fn(stages, upscale, served_fn)
+    served = np.asarray(served_fn(jax.device_put(frame)))
+    lr01 = jnp.asarray(frame[None, ..., :3].astype(np.float32) / 255.0)
+    twin = np.asarray(twin_fn(lr01))[0]
+    twin_u8 = np.clip(np.round(twin * 255.0), 0, 255).astype(np.uint8)
+    return psnr(served[..., :3], twin_u8), kind
+
+
+def run_fidelity_gates(extras: dict, failures: list,
+                       budget_left_s: float | None = None) -> None:
     """On-chip per-path fidelity gates (VERDICT r3 #1).
 
     Every production output path runs ON THIS DEVICE against its numpy
     golden (`nu_scaler_tpu/kernels/reference.py`, cited into
     /root/reference) or, where a full-res numpy golden is intractable
     (the overlapped-tile warp's pixel-loop golden) or the contract is
-    twin-equality (the fused phase-domain refinement), against its
-    straightforward on-chip twin. Each gate records `psnr_<path>_db`; a
-    value under its threshold OR a crash inside a gate appends to
-    `failures`, which makes main() exit non-zero after the JSON line.
-    Thresholds follow the 50 dB kernel contract (BASELINE.json;
-    `Nu_scale/src/upscale/common.rs:482-531`); the fused-blend mid and
-    the refined twin carry only f32 rounding-tie noise (measured ≥54 dB).
+    twin-equality (the fused phase-domain refinement, the learned tiers'
+    served int8 grid), against its straightforward on-chip twin. Each gate
+    records `psnr_<path>_db`; a value under its threshold OR a crash inside
+    a gate appends to `failures`, which makes main() exit non-zero after
+    the JSON line. Thresholds follow the 50 dB kernel contract
+    (BASELINE.json; `Nu_scale/src/upscale/common.rs:482-531`); the
+    fused-blend mid and the refined twin carry only f32 rounding-tie noise
+    (measured ≥54 dB); the learned twins gate at 42 (association noise —
+    see `_gate_esrgan_twin`).
+
+    budget_left_s (driver-timeout defense, VERDICT r4 #1): when set, the
+    cheap golden gates always run, but each TWIN-heavy gate (its own fresh
+    compiles) is skipped — recorded in extras["gates_skipped"], NOT a
+    failure — once the wall budget is spent.
     """
     from nu_scaler_tpu.kernels import reference as ref
     from nu_scaler_tpu.ops import interpolate as interp
@@ -428,6 +684,17 @@ def run_fidelity_gates(extras: dict, failures: list) -> None:
     cur = np.roll(frame, 16, axis=1)
     dev_a = jax.device_put(frame)
     dev_b = jax.device_put(cur)
+    t_gates0 = time.perf_counter()
+
+    def have_time() -> bool:
+        return (
+            budget_left_s is None
+            or (time.perf_counter() - t_gates0) < budget_left_s
+        )
+
+    def skip_gate(key: str, why: str) -> None:
+        extras.setdefault("gates_skipped", []).append(key)
+        log(f"fidelity[{key}] skipped: {why}")
 
     def gate(key: str, thresh: float, fn) -> None:
         try:
@@ -436,6 +703,7 @@ def run_fidelity_gates(extras: dict, failures: list) -> None:
             failures.append(f"{key}: crashed ({str(e)[:160]})")
             log(f"fidelity[{key}] CRASHED: {str(e)[:200]}")
             return
+        val = min(val, 99.0)  # exact matches read inf — keep the JSON strict
         extras[key] = round(val, 1)
         ok = val >= thresh
         log(
@@ -452,7 +720,7 @@ def run_fidelity_gates(extras: dict, failures: list) -> None:
             out = np.asarray(
                 resample.make_resampler(IN_H, IN_W, OUT_H, OUT_W, algo)(dev_a)
             )
-            return psnr(out, ref.separable_resample_ref(frame, OUT_H, OUT_W, algo))
+            return psnr(out, _resample_golden("a", frame, algo))
 
         gate(f"psnr_{algo}_db", 50.0, _g_resample)
 
@@ -469,8 +737,7 @@ def run_fidelity_gates(extras: dict, failures: list) -> None:
         out = np.asarray(
             fsr_ops.make_fsr_upscaler(IN_H, IN_W, OUT_H, OUT_W, "quality")(dev_a)
         )
-        s = ref.FSR_SHARPNESS["quality"]
-        golden = ref.rcas_ref(ref.easu_ref(frame, OUT_H, OUT_W, s), s)
+        golden = _fsr_golden(frame)
         max_d = int(
             np.abs(out.astype(np.int64) - golden.astype(np.int64)).max()
         )
@@ -496,8 +763,8 @@ def run_fidelity_gates(extras: dict, failures: list) -> None:
             # amortized XLA blend — gate that path instead
             up = resample.make_resampler(IN_H, IN_W, OUT_H, OUT_W, "lanczos3")
             mid = np.asarray(interp.blend_only(up(dev_a), up(dev_b), 0.5))
-        ga = ref.separable_resample_ref(frame, OUT_H, OUT_W, "lanczos3")
-        gb = ref.separable_resample_ref(cur, OUT_H, OUT_W, "lanczos3")
+        ga = _resample_golden("a", frame, "lanczos3")
+        gb = _resample_golden("b", cur, "lanczos3")
         gm = np.clip(
             np.round((ga.astype(np.float64) + gb.astype(np.float64)) * 0.5),
             0,
@@ -507,10 +774,52 @@ def run_fidelity_gates(extras: dict, failures: list) -> None:
 
     gate("psnr_blend_db", 50.0, _g_blend)
 
+    # 3b) the live loop's 4:2:0 delivery pack and capture ingest vs the
+    #     capture/video.py numpy goldens (VERDICT r4 #3 — these conversions
+    #     wrap every live payload and had no on-chip gate). Contract: ±1 LSB
+    #     trunc ties only (tests/test_color.py bounds them exactly).
+    def _plane_psnr(a: np.ndarray, b: np.ndarray) -> float:
+        # metrics.psnr wants [H, W, C] frames (its SSIM takes luma); the
+        # 4:2:0 planes are 2-D — plain MSE-PSNR here
+        mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+        return 99.0 if mse == 0.0 else 10.0 * np.log10(255.0 ** 2 / mse)
+
+    def _g_yuv_deliver():
+        from nu_scaler_tpu.capture.video import _rgba_to_yuv420 as np_pack
+        from nu_scaler_tpu.ops import color
+
+        big = generate_test_pattern(OUT_W, OUT_H)
+        y, u, v = (
+            np.asarray(p)
+            for p in color.make_rgba_to_yuv420(OUT_H, OUT_W)(jax.device_put(big))
+        )
+        gy, gu, gv = np_pack(big)
+        return min(_plane_psnr(y, gy), _plane_psnr(u, gu), _plane_psnr(v, gv))
+
+    gate("psnr_yuv420_deliver_db", 50.0, _g_yuv_deliver)
+
+    def _g_yuv_ingest():
+        from nu_scaler_tpu.capture.video import (
+            _rgba_to_yuv420 as np_pack,
+            _yuv420_to_rgba as np_unpack,
+        )
+        from nu_scaler_tpu.ops import color
+
+        gy, gu, gv = np_pack(frame)
+        got = np.asarray(
+            color.make_yuv420_to_rgba(IN_H, IN_W)(
+                jax.device_put(gy), jax.device_put(gu), jax.device_put(gv)
+            )
+        )
+        return psnr(got, np_unpack(gy, gu, gv))
+
+    gate("psnr_yuv420_ingest_db", 50.0, _g_yuv_ingest)
+
     # 4) the Pallas overlapped-tile soft warp vs the XLA soft path fed the
     #    SAME tile-mean motion (the full-res pixel-loop numpy golden takes
     #    minutes; the XLA twin is itself golden-gated in
-    #    tests/test_soft_warp_pallas.py). Both run on-chip here.
+    #    tests/test_soft_warp_pallas.py). Both run on-chip here; the twin
+    #    program takes t traced, so it also serves the soft3x gate below.
     def _g_flow_soft():
         from nu_scaler_tpu.kernels.soft_warp_pallas import soft_warp_blend
 
@@ -523,17 +832,36 @@ def run_fidelity_gates(extras: dict, failures: list) -> None:
                 tile=interp.WARP_TILE, rng=interp.WARP_RANGE, tiles=tiles,
             )
         )
-        out_x = np.asarray(
-            interp.warp_blend_fast(
-                dev_a, dev_b, dense, 0.5,
-                tile=interp.WARP_TILE, overlap=True, pallas_ok=False,
-            )
-        )
+        out_x = np.asarray(_soft_twin_fn()(dev_a, dev_b, dense, 0.5))
         # alpha is MC'd by the kernel, cross-faded by the twin (identical on
         # alpha≡255 frames) — gate RGB
         return psnr(out_k[..., :3], out_x[..., :3])
 
-    gate("psnr_flow_soft_db", 50.0, _g_flow_soft)
+    if have_time():
+        gate("psnr_flow_soft_db", 50.0, _g_flow_soft)
+    else:
+        skip_gate("psnr_flow_soft_db", "bench budget spent")
+
+    # 4b) the N-factor frame-gen mids (soft_interp_multi at t=1/3, 2/3) vs
+    #     the same traced-t XLA twin (VERDICT r4 #3 — the soft3x bench paths
+    #     had no on-chip gate). One motion solve, both mids gated.
+    def _g_soft3x():
+        th, tw = interp.WARP_TILE
+        tiles = interp.flow_tiles_fast(dev_a, dev_b, interp.WARP_TILE)
+        dense = jnp.repeat(jnp.repeat(tiles, th, axis=0), tw, axis=1)
+        mids = np.asarray(
+            interp.soft_interp_multi(dev_a, dev_b, (1.0 / 3.0, 2.0 / 3.0))
+        )
+        worst = float("inf")
+        for i, t in enumerate((1.0 / 3.0, 2.0 / 3.0)):
+            twin = np.asarray(_soft_twin_fn()(dev_a, dev_b, dense, t))
+            worst = min(worst, psnr(mids[i][..., :3], twin[..., :3]))
+        return worst
+
+    if have_time():
+        gate("psnr_soft3x_mids_db", 50.0, _g_soft3x)
+    else:
+        skip_gate("psnr_soft3x_mids_db", "bench budget spent")
 
     # 5) the fused phase-domain refined path vs its d2s-composition twin
     #    (contract: the phase fold is exact up to f32 rounding ties)
@@ -546,7 +874,11 @@ def run_fidelity_gates(extras: dict, failures: list) -> None:
         have_refine = refine_available() and interp.refine_serves(IN_H, IN_W)
     except Exception:  # noqa: BLE001
         have_refine = False
-    if have_refine:
+    if not have_refine:
+        log("fidelity[psnr_flow_soft_ref_db] skipped: no refine checkpoint")
+    elif not have_time():
+        skip_gate("psnr_flow_soft_ref_db", "bench budget spent")
+    else:
 
         def _g_refined():
             fused = interp.make_refined_mid_upscaler(IN_H, IN_W, OUT_H, OUT_W)
@@ -558,87 +890,58 @@ def run_fidelity_gates(extras: dict, failures: list) -> None:
             return psnr(got, want)
 
         gate("psnr_flow_soft_ref_db", 50.0, _g_refined)
-    else:
-        log("fidelity[psnr_flow_soft_ref_db] skipped: no refine checkpoint")
 
-    # 6) the learned tier's served grid (fused raw-domain graph, int8 trunk
-    #    when calibrated) vs its float-domain twin on the same integer grid.
-    #    Raw-domain bf16 (ulp 1 at 255) vs [0,1]-domain (ulp ~0.004) leaves
-    #    ~1 LSB of association noise — the same comparison test_esrgan.py
-    #    gates at >=42 dB on random init; the trained checkpoint measures
-    #    higher.
+    # 6) the x2 learned tier's served grid vs its numeric twin
+    #    (_gate_esrgan_twin; `psnr_esrgan_vs_twin_db` — the "vs_twin" in the
+    #    key says this is NOT the 50 dB classical contract, VERDICT r4 #7)
     try:
         from nu_scaler_tpu.models import esrgan_lite as el
-        from nu_scaler_tpu.models import train as etrain
 
         efn = el.make_pretrained_upscaler(IN_H, IN_W, OUT_H, OUT_W)
         have_esrgan = efn is not None and getattr(efn, "arch", None)
     except Exception:  # noqa: BLE001
         have_esrgan = False
-    if have_esrgan:
+    if not have_esrgan:
+        log("fidelity[psnr_esrgan_vs_twin_db] skipped: no esrgan checkpoint")
+    elif not have_time():
+        skip_gate("psnr_esrgan_vs_twin_db", "bench budget spent")
+    else:
 
         def _g_esrgan():
-            arch = efn.arch
-            arch_kw = {e[0]: e[1] for e in el._ARCH_LADDER["quality"]}.get(
-                arch, dict(stride=4, features=128)
-            )
-            params, step = etrain.load_checkpoint(1, arch)
-            model = el.ESRGANLiteTPU(upscale=2, **arch_kw)
-            if getattr(efn, "quantized", False):
-                twin_fn = el.make_quant_apply(
-                    model, params, etrain.load_act_scales(1, arch, step)
-                )
-            else:
-                twin_fn = jax.jit(lambda x: model.apply(params, x))
-            served = np.asarray(efn(dev_a))
-            lr01 = jnp.asarray(frame[None, ..., :3].astype(np.float32) / 255.0)
-            twin = np.asarray(twin_fn(lr01))[0]
-            twin_u8 = np.clip(np.round(twin * 255.0), 0, 255).astype(np.uint8)
-            return psnr(served[..., :3], twin_u8)
+            db, kind = _gate_esrgan_twin(1, 2, frame, efn)
+            extras["esrgan_twin_kind"] = kind
+            return db
 
-        gate("psnr_esrgan_db", 42.0, _g_esrgan)
-    else:
-        log("fidelity[psnr_esrgan_db] skipped: no esrgan checkpoint")
+        gate("psnr_esrgan_vs_twin_db", 42.0, _g_esrgan)
 
-    # 7) the 4x tier's served grid vs its numeric twin — same contract as
-    #    (6), at the x4 serving point (stages=2 checkpoint; 540p→4K at
-    #    bench dims — derived from OUT so the CPU-mesh test dims scale)
+    # 7) the 4x tier's served grid vs its numeric twin — same contract, at
+    #    the x4 serving point (stages=2 checkpoint; 540p→4K at bench dims —
+    #    derived from OUT so the CPU-mesh test dims scale). Built in its own
+    #    try block: an x2 setup failure must not read as "no x4 checkpoint"
+    #    (ADVICE r4).
     in4_h, in4_w = OUT_H // 4, OUT_W // 4
     try:
-        e4fn = (
-            el.make_pretrained_upscaler(in4_h, in4_w, OUT_H, OUT_W)
-            if have_esrgan
-            else None
-        )
+        from nu_scaler_tpu.models import esrgan_lite as el
+
+        e4fn = el.make_pretrained_upscaler(in4_h, in4_w, OUT_H, OUT_W)
         have_x4 = e4fn is not None and getattr(e4fn, "arch", "lite") != "lite"
-    except Exception:  # noqa: BLE001
+        x4_why = "no x4 checkpoint"
+    except Exception as e:  # noqa: BLE001
         have_x4 = False
-    if have_x4:
+        x4_why = f"x4 build failed: {str(e)[:120]}"
+    if not have_x4:
+        log(f"fidelity[psnr_esrgan_x4_vs_twin_db] skipped: {x4_why}")
+    elif not have_time():
+        skip_gate("psnr_esrgan_x4_vs_twin_db", "bench budget spent")
+    else:
         frame4 = generate_test_pattern(in4_w, in4_h)
-        dev_4 = jax.device_put(frame4)
 
         def _g_esrgan_x4():
-            arch = e4fn.arch
-            arch_kw = {e[0]: e[1] for e in el._ARCH_LADDER["quality"]}.get(
-                arch, dict(stride=4, features=128)
-            )
-            params, step = etrain.load_checkpoint(2, arch)
-            model = el.ESRGANLiteTPU(upscale=4, **arch_kw)
-            if getattr(e4fn, "quantized", False):
-                twin_fn = el.make_quant_apply(
-                    model, params, etrain.load_act_scales(2, arch, step)
-                )
-            else:
-                twin_fn = jax.jit(lambda x: model.apply(params, x))
-            served = np.asarray(e4fn(dev_4))
-            lr01 = jnp.asarray(frame4[None, ..., :3].astype(np.float32) / 255.0)
-            twin = np.asarray(twin_fn(lr01))[0]
-            twin_u8 = np.clip(np.round(twin * 255.0), 0, 255).astype(np.uint8)
-            return psnr(served[..., :3], twin_u8)
+            db, kind = _gate_esrgan_twin(2, 4, frame4, e4fn)
+            extras["esrgan_x4_twin_kind"] = kind
+            return db
 
-        gate("psnr_esrgan_x4_db", 42.0, _g_esrgan_x4)
-    else:
-        log("fidelity[psnr_esrgan_x4_db] skipped: no x4 checkpoint")
+        gate("psnr_esrgan_x4_vs_twin_db", 42.0, _g_esrgan_x4)
 
 
 def bench_upscale(algorithm: str, iters: int, overhead_s: float) -> float:
@@ -678,365 +981,421 @@ def bench_pipeline_retry(mode: str, iters: int, overhead_s: float) -> dict:
 
 
 def main() -> None:
+    """Priority-ordered, budget-defended bench (VERDICT r4 #1).
+
+    The r4 driver run timed out (rc=124) with the ONE json line still
+    unprinted: ~30+ distinct programs × the 30-60 s remote compile helper
+    from a cold cache outgrew the driver's window, and all output was
+    staged for the very end. This main() is restructured so a timeout at
+    ANY point still lands a parseable record:
+
+      * Sections run in priority order — headline, classical upscalers,
+        learned tiers + held-out quality, fidelity gates, live, MC
+        interpolation tiers, then diagnostics.
+      * A cumulative JSON line is (re)printed after every section once the
+        headline + classical numbers exist; every line is a superset of the
+        previous one with "partial": true until the final line.
+      * An internal wall budget (NU_BENCH_BUDGET_S, default 1350 s) skips
+        remaining optional tiers — recorded under "skipped", not failures —
+        so a cold-cache run exits 0 with the full priority prefix.
+      * Diagnostic lines (naive pair-upscale, full-res HS flow, legacy
+        2-call Pallas, full-RGBA live) moved behind NU_BENCH_FULL=1.
+      * A section that RAISES (after the one transient-tunnel retry) lands
+        in gate_failures → exit 1; nothing is silently zeroed (VERDICT r4
+        #3).
+    """
+    t_main0 = time.perf_counter()
+    budget_s = float(os.environ.get("NU_BENCH_BUDGET_S", "1350"))
+    full = os.environ.get("NU_BENCH_FULL") == "1"
     dev = jax.devices()[0]
     gate_failures: list[str] = []
-    log(f"device: {dev} ({dev.platform})")
+    skipped: list[str] = []
+    gates_done = [False]
+    emitting = [False]
+    state: dict = {
+        "metric": "1080p→4K lanczos3 + 2x interp, output frames/sec/chip",
+        "value": 0.0,
+        "unit": "fps",
+        "vs_baseline": 0.0,
+        "step_ms": 0.0,
+        "platform": dev.platform,
+    }
+
+    def elapsed() -> float:
+        return time.perf_counter() - t_main0
+
+    def left() -> float:
+        return budget_s - elapsed()
+
+    def emit(final: bool = False) -> None:
+        if not (emitting[0] or final):
+            return
+        state["elapsed_s"] = round(elapsed(), 1)
+        if skipped:
+            state["skipped"] = list(skipped)
+        if gate_failures:
+            state["fidelity_gate"] = "FAIL: " + "; ".join(gate_failures)
+        elif gates_done[0]:
+            state["fidelity_gate"] = "pass"
+        else:
+            state["fidelity_gate"] = "pending" if not final else "not-run"
+        d = dict(state)
+        if not final:
+            d["partial"] = True
+        print(json.dumps(d), flush=True)
+
+    def section(name: str, fn, required: bool = True):
+        """Run one bench section; optional sections budget-skip; a section
+        that raises is a recorded hard failure (exit 1 after the JSON)."""
+        if not required and left() <= 0:
+            skipped.append(name)
+            log(f"[{elapsed():6.0f}s] {name}: skipped (budget spent)")
+            return None
+        ts = time.perf_counter()
+        try:
+            r = fn()
+            log(f"[{elapsed():6.0f}s] {name}: +{time.perf_counter() - ts:.0f}s")
+            return r
+        except Exception as e:  # noqa: BLE001
+            gate_failures.append(f"{name}: crashed ({str(e)[:160]})")
+            log(f"[{elapsed():6.0f}s] {name} FAILED: {str(e)[:300]}")
+            return None
+
+    log(
+        f"device: {dev} ({dev.platform}); budget {budget_s:.0f}s"
+        + (" + NU_BENCH_FULL diagnostics" if full else "")
+    )
     overhead = fetch_overhead_s()
     log(f"host<->device fetch overhead: {overhead*1000:.2f} ms (diagnostic only; slope timing cancels it)")
     iters = 100 if dev.platform == "tpu" else 5
 
-    try:
-        res_blend = bench_pipeline_retry("blend_amortized", iters, overhead)
-        log(f"pipeline[blend  ] {res_blend['fps']:9.1f} out-fps  {res_blend['step_ms']:.3f} ms/step (amortized)")
-    except Exception as e:  # noqa: BLE001
-        res_blend = {"fps": 0.0, "step_ms": 0.0}
-        log(f"pipeline[blend] failed: {e}")
-    try:
-        res_blend_fused = bench_pipeline_retry("blend_fused", iters, overhead)
-        log(f"pipeline[blend-f] {res_blend_fused['fps']:9.1f} out-fps  {res_blend_fused['step_ms']:.3f} ms/step (blend fused into the resample kernel)")
-    except Exception as e:  # noqa: BLE001
-        res_blend_fused = {"fps": 0.0}
-        log(f"pipeline[blend-f] failed: {e}")
-    try:
-        res_blend3x = bench_pipeline_retry("blend_fused_3x", iters, overhead)
-        log(f"pipeline[blend-3x] {res_blend3x['fps']:9.1f} out-fps  {res_blend3x['step_ms']:.3f} ms/step (3x frame gen, fused kernel)")
-    except Exception as e:  # noqa: BLE001
-        res_blend3x = {"fps": 0.0}
-        log(f"pipeline[blend-3x] failed: {e}")
-    try:
-        res_blend_naive = bench_pipeline_retry("blend", iters, overhead)
-        log(f"pipeline[blend-2x] {res_blend_naive['fps']:9.1f} out-fps  {res_blend_naive['step_ms']:.3f} ms/step (pair-upscale)")
-    except Exception as e:  # noqa: BLE001
-        res_blend_naive = {"fps": 0.0}
-        log(f"pipeline[blend-2x] failed: {e}")
-    try:
-        res_flow = bench_pipeline_retry("flow", max(iters // 4, 3), overhead)
-        log(f"pipeline[hs-flow] {res_flow['fps']:9.1f} out-fps  {res_flow['step_ms']:.3f} ms/step")
-    except Exception as e:  # noqa: BLE001
-        res_flow = {"fps": 0.0}
-        log(f"pipeline[hs-flow] failed: {e}")
-    try:
-        res_flow_soft = bench_pipeline_retry("flow_soft", max(iters // 4, 3), overhead)
-        log(f"pipeline[hs-soft] {res_flow_soft['fps']:9.1f} out-fps  {res_flow_soft['step_ms']:.3f} ms/step (overlapped-tile warp)")
-    except Exception as e:  # noqa: BLE001
-        res_flow_soft = {"fps": 0.0}
-        log(f"pipeline[hs-soft] failed: {e}")
-    res_soft_ref = {"fps": 0.0}
-    interp_ref_quality = {}
-    try:
-        from nu_scaler_tpu.models.interp_refine import refine_available
+    # ---- 1. headline: the fused-blend north-star pipeline ----------------
+    def _s_headline():
+        res = bench_pipeline_retry("blend_fused", iters, overhead)
+        log(f"pipeline[blend-f] {res['fps']:9.1f} out-fps  {res['step_ms']:.3f} ms/step (blend fused into the resample kernel)")
+        state["blend_fused_kernel_fps"] = round(res["fps"], 1)
+        state["value"] = round(res["fps"], 1)
+        state["step_ms"] = round(res["step_ms"], 3)
+        state["vs_baseline"] = round(res["fps"] / TARGET_FPS, 3)
+        return res
 
-        if refine_available():
-            res_soft_ref = bench_pipeline_retry("flow_soft_ref", max(iters // 4, 3), overhead)
-            log(
-                f"pipeline[hs-soft-ref] {res_soft_ref['fps']:9.1f} out-fps  "
-                f"{res_soft_ref['step_ms']:.3f} ms/step (soft warp + learned refinement)"
-            )
-            from nu_scaler_tpu.models.data import eval_interp_refinement
+    res_fused = section("pipeline_blend_fused", _s_headline)
+    if res_fused is None:
+        # fused kernel unavailable/broken: the amortized XLA path computes
+        # the identical two frames per step — headline fallback
+        def _s_amortized():
+            res = bench_pipeline_retry("blend_amortized", iters, overhead)
+            log(f"pipeline[blend  ] {res['fps']:9.1f} out-fps  {res['step_ms']:.3f} ms/step (amortized)")
+            state["blend_amortized_xla_fps"] = round(res["fps"], 1)
+            state["value"] = round(res["fps"], 1)
+            state["step_ms"] = round(res["step_ms"], 3)
+            state["vs_baseline"] = round(res["fps"] / TARGET_FPS, 3)
+            return res
 
-            q = eval_interp_refinement(seeds=(900, 901))
-            interp_ref_quality = {
-                "interp_ref_psnr_delta_db_vs_soft": round(q["psnr_delta_db"], 2),
-                "interp_ref_ssim_delta_vs_soft": round(q["ssim_delta"], 4),
-            }
-            log(
-                f"interp refinement held-out: {q['ref_psnr_db']:.2f} dB vs soft "
-                f"{q['soft_psnr_db']:.2f} dB (Δ {q['psnr_delta_db']:+.2f} dB, "
-                f"ΔSSIM {q['ssim_delta']:+.4f})"
-            )
-    except Exception as e:  # noqa: BLE001
-        log(f"pipeline[hs-soft-ref] failed: {e}")
-    try:
-        res_soft3x = bench_pipeline_retry("soft3x", max(iters // 4, 3), overhead)
-        log(f"pipeline[hs-soft3x] {res_soft3x['fps']:9.1f} out-fps  {res_soft3x['step_ms']:.3f} ms/step (3x frame gen, one motion solve)")
-    except Exception as e:  # noqa: BLE001
-        res_soft3x = {"fps": 0.0}
-        log(f"pipeline[hs-soft3x] failed: {e}")
-    res_soft3x_ref = {"fps": 0.0}
-    try:
-        from nu_scaler_tpu.models.interp_refine import refine_available
+        section("pipeline_blend_amortized", _s_amortized)
 
-        if refine_available():
-            res_soft3x_ref = bench_pipeline_retry("soft3x_ref", max(iters // 4, 3), overhead)
-            log(
-                f"pipeline[hs-soft3x-ref] {res_soft3x_ref['fps']:9.1f} out-fps  "
-                f"{res_soft3x_ref['step_ms']:.3f} ms/step (3x frame gen + learned refinement)"
-            )
-    except Exception as e:  # noqa: BLE001
-        log(f"pipeline[hs-soft3x-ref] failed: {e}")
-    try:
-        res_flow_half = bench_pipeline_retry("flow_half", max(iters // 5, 3), overhead)
-        log(f"pipeline[hs-half] {res_flow_half['fps']:9.1f} out-fps  {res_flow_half['step_ms']:.3f} ms/step")
-    except Exception as e:  # noqa: BLE001
-        res_flow_half = {"fps": 0.0}
-        log(f"pipeline[hs-half] failed: {e}")
-    try:
-        res_perf = bench_pipeline_retry("perf_interp", max(iters // 4, 3), overhead)
-        log(f"pipeline[hs-perf] {res_perf['fps']:9.1f} out-fps  {res_perf['step_ms']:.3f} ms/step")
-    except Exception as e:  # noqa: BLE001
-        res_perf = {"fps": 0.0}
-        log(f"pipeline[hs-perf] failed: {e}")
+    def _s_blend3x():
+        res = bench_pipeline_retry("blend_fused_3x", iters, overhead)
+        log(f"pipeline[blend-3x] {res['fps']:9.1f} out-fps  {res['step_ms']:.3f} ms/step (3x frame gen, fused kernel)")
+        state["blend_fused_3x_fps"] = round(res["fps"], 1)
 
-    try:
-        res_live = bench_live(n_frames=10 if dev.platform == "tpu" else 4)
-        log(
-            f"pipeline[live   ] {res_live['fps']:9.1f} out-fps generated / "
-            f"{res_live['presented_fps']:.1f} presented ({res_live['delivery']}, "
-            f"{res_live['payload_mb_in']} MB in + {res_live['payload_mb_out']} MB/frame out; "
-            f"p50 {res_live['p50_step_ms']:.1f} / p99 {res_live['p99_step_ms']:.1f} ms/step, "
-            f"{res_live['presented']} presented / {res_live['skipped']} skipped of "
-            f"{res_live['output_frames']}) — capture→interp→upscale→present"
-        )
-    except Exception as e:  # noqa: BLE001
-        res_live = {
-            "fps": 0.0, "presented_fps": 0.0, "p50_step_ms": 0.0,
-            "p99_step_ms": 0.0, "skipped": 0, "presented": 0,
-            "output_frames": 0, "delivery": "?", "payload_mb_in": 0.0,
-            "payload_mb_out": 0.0, "target_fps": 0.0,
-        }
-        log(f"pipeline[live] failed: {e}")
-    try:
-        # preview delivery: the reference GUI only ever presented a
-        # preview-sized QPixmap (main.py:1117-1173) — 4:2:0 at 1080 rows
-        # is the realistic GUI payload (4× fewer bytes than 4K 4:2:0); the
-        # full-res 4:2:0 line above remains the file/stream-sink number
-        res_live_prev = bench_live(
-            n_frames=10 if dev.platform == "tpu" else 4, preview_h=1080
-        )
-        log(
-            f"pipeline[live-pv] {res_live_prev['fps']:9.1f} out-fps generated / "
-            f"{res_live_prev['presented_fps']:.1f} presented ({res_live_prev['delivery']}, "
-            f"{res_live_prev['payload_mb_in']} MB in + {res_live_prev['payload_mb_out']} MB/frame out; "
-            f"{res_live_prev['presented']} presented / {res_live_prev['skipped']} skipped of "
-            f"{res_live_prev['output_frames']}) — preview-resolution delivery"
-        )
-    except Exception as e:  # noqa: BLE001
-        res_live_prev = {
-            "fps": 0.0, "presented_fps": 0.0, "delivery": "?",
-            "presented": 0, "skipped": 0, "output_frames": 0,
-        }
-        log(f"pipeline[live-pv] failed: {e}")
-    try:
-        # the pre-r4 full-delivery loop: full-res RGBA, every frame fetched
-        res_live_rgba = bench_live(
-            n_frames=4 if dev.platform == "tpu" else 2,
-            fmt="rgba", adaptive=False,
-        )
-        log(
-            f"pipeline[live-rgba] {res_live_rgba['fps']:7.2f} out-fps "
-            f"(full 4K RGBA, every frame fetched — the r3 comparison line)"
-        )
-    except Exception as e:  # noqa: BLE001
-        res_live_rgba = {"fps": 0.0}
-        log(f"pipeline[live-rgba] failed: {e}")
+    section("pipeline_blend_fused_3x", _s_blend3x)
 
-    extras = {}
-    for algo in ("bilinear", "lanczos3", "bicubic"):
-        try:
+    # ---- 2. classical upscalers + FSR ------------------------------------
+    for _algo in ("lanczos3", "bilinear", "bicubic"):
+
+        def _s_upscale(algo=_algo):
             fps = bench_upscale(algo, iters, overhead)
-            extras[f"upscale_{algo}_fps"] = round(fps, 1)
+            state[f"upscale_{algo}_fps"] = round(fps, 1)
             log(f"upscale[{algo:9}] 1080p→4K {fps:9.1f} fps")
-        except Exception as e:  # noqa: BLE001
-            log(f"upscale[{algo}] failed: {e}")
 
-    # on-chip fidelity evidence: every production output path is PSNR-gated
-    # against its numpy golden or on-chip twin ON THIS DEVICE — TPU-specific
-    # numerics (split_bf16 matmuls, Mosaic trunc packing, int8 requant) are
-    # exactly what differs on-chip. HARD gate: failures are collected in
-    # `gate_failures` and fail the run with exit code 1 AFTER the JSON line
-    # (VERDICT r3 #1 — the old assert sat inside its own swallowing except).
-    run_fidelity_gates(extras, gate_failures)
+        section(f"upscale_{_algo}", _s_upscale)
 
-    # Pallas fused kernel (experimental) vs the XLA banded path
-    try:
-        from nu_scaler_tpu.kernels.resample_pallas import make_pallas_resampler
-
-        pfn = make_pallas_resampler(IN_H, IN_W, OUT_H, OUT_W, "lanczos3")
-        if pfn is not None:
-            def pbody(state):
-                return chain_next(state, pfn(state))
-
-            spf = timed_loop(pbody, jax.device_put(make_input()), iters, overhead)
-            extras["pallas_twocall_lanczos3_fps"] = round(1.0 / spf, 1)
-            log(f"upscale[pallas-2call] 1080p→4K {1.0/spf:9.1f} fps (legacy; the fused kernel IS the lanczos3 line)")
-    except Exception as e:  # noqa: BLE001
-        log(f"pallas resample bench failed: {str(e)[:200]}")
-    try:
+    def _s_fsr():
         fps = bench_fsr(iters, overhead)
-        extras["fsr_easu_rcas_fps"] = round(fps, 1)
+        state["fsr_easu_rcas_fps"] = round(fps, 1)
         log(f"upscale[fsr      ] 1080p→4K {fps:9.1f} fps")
-    except Exception as e:  # noqa: BLE001
-        log(f"fsr bench failed: {e}")
 
-    # learned tier: serving fps + held-out quality vs lanczos3 (VERDICT r1 #3)
-    efn = None
+    section("upscale_fsr", _s_fsr)
+    emitting[0] = True  # headline + classical exist: start landing records
+    emit()
+
+    # ---- 3. learned tiers: serving fps + held-out quality ----------------
+    efn = e4 = None
     try:
         from nu_scaler_tpu.models import esrgan_lite as el
-
-        efn = el.make_pretrained_upscaler(IN_H, IN_W, OUT_H, OUT_W)
-
-        def ebody(state):
-            return chain_next(state, efn(state))
-
-        # the gate metric (esrgan_fps >= 240): true serving rate sits within
-        # ~1 fps of the gate, so sample it hardest (50-step chains x 5
-        # interleaved repeats per trip count)
-        spf = timed_loop(
-            ebody, jax.device_put(make_input()), max(iters // 2, 3), overhead,
-            repeats=5,
-        )
-        extras["esrgan_fps"] = round(1.0 / spf, 1)
-        arch = getattr(efn, "arch", "?")
-        if getattr(efn, "quantized", False):
-            arch += "-int8"
-        log(f"upscale[esrgan   ] 1080p→4K {extras['esrgan_fps']:9.1f} fps (learned tier, {arch})")
-
-        # NOTE: no batch=2 line — single-chip batching is a measured
-        # negative at these shapes (3.805 vs 3.226 ms/frame on the honest
-        # pair, tools/experiments/esrgan_batch_honest.py r4); the batched
-        # program exists for mesh dp fan-out (esrgan_batch_sharded) and
-        # API grouping, not as a single-chip speed knob
     except Exception as e:  # noqa: BLE001
-        log(f"esrgan bench failed: {e}")
-    # performance learned tier (stride-8 ladder: NuScaler("dlss","performance"))
-    try:
-        ffn = el.make_fast_upscaler(IN_H, IN_W, OUT_H, OUT_W)
-        if getattr(ffn, "arch", None) in ("tpu4b1", "tpu8", "tpu8w"):
+        el = None
+        log(f"esrgan import failed: {e}")
+    if el is not None:
 
-            def fbody(state):
-                return chain_next(state, ffn(state))
+        def _s_esrgan():
+            nonlocal efn
+            efn = el.make_pretrained_upscaler(IN_H, IN_W, OUT_H, OUT_W)
+            if efn is None or not getattr(efn, "arch", None):
+                efn = None
+                log("upscale[esrgan] skipped: no checkpoint")
+                return
 
-            spf = timed_loop(fbody, jax.device_put(make_input()), max(iters // 4, 3), overhead)
-            extras["esrgan_fast_fps"] = round(1.0 / spf, 1)
-            _fa = ffn.arch + ("-int8" if getattr(ffn, "quantized", False) else "")
-            log(
-                f"upscale[esrgan-pf] 1080p→4K {extras['esrgan_fast_fps']:9.1f} fps "
-                f"(performance learned tier, {_fa})"
+            def ebody(s):
+                return chain_next(s, efn(s))
+
+            # the gate metric (esrgan_fps >= 240): true serving rate sits
+            # within ~1 fps of the gate, so sample it hardest (interleaved
+            # 5-repeat slope)
+            spf = timed_loop(
+                ebody, jax.device_put(make_input()), max(iters // 2, 3),
+                overhead, repeats=5,
             )
-    except Exception as e:  # noqa: BLE001
-        log(f"esrgan fast bench failed: {e}")
-    try:
-        from nu_scaler_tpu.models.data import eval_vs_lanczos3
-
-        # evaluate the arch the quality tier actually serves (ladder head),
-        # on the SAME numeric path it serves: the int8 integer-grid twin
-        # when the tier is quantized, the plain float apply otherwise
-        served_arch = getattr(efn, "arch", None) or "tpu4"
-        arch_kw = {e[0]: e[1] for e in el._ARCH_LADDER["quality"]}.get(
-            served_arch, dict(stride=4, features=128)
-        )
-        _tr = __import__("nu_scaler_tpu.models.train", fromlist=["load_checkpoint"])
-        _params, _step = _tr.load_checkpoint(1, served_arch)
-        _model = el.ESRGANLiteTPU(upscale=2, **arch_kw)
-        if getattr(efn, "quantized", False):
-            model_fn = el.make_quant_apply(
-                _model, _params, _tr.load_act_scales(1, served_arch, _step)
+            state["esrgan_fps"] = round(1.0 / spf, 1)
+            arch = getattr(efn, "arch", "?") + (
+                "-int8" if getattr(efn, "quantized", False) else ""
             )
-        else:
-            model_fn = jax.jit(lambda x: _model.apply(_params, x))
-        q = eval_vs_lanczos3(model_fn, scale=2, seeds=(900, 901))
-        extras["esrgan_psnr_delta_db_vs_lanczos3"] = round(q["psnr_delta_db"], 2)
-        extras["esrgan_ssim_delta_vs_lanczos3"] = round(q["ssim_delta"], 4)
-        log(
-            f"esrgan held-out quality: {q['net_psnr_db']:.2f} dB vs lanczos3 "
-            f"{q['lanczos3_psnr_db']:.2f} dB (Δ {q['psnr_delta_db']:+.2f} dB, "
-            f"ΔSSIM {q['ssim_delta']:+.4f})"
-        )
-    except Exception as e:  # noqa: BLE001
-        log(f"esrgan quality eval skipped: {e}")
+            log(f"upscale[esrgan   ] 1080p→4K {state['esrgan_fps']:9.1f} fps (learned quality tier, {arch})")
 
-    # 4x learned tier (540p -> 4K, stages=2): the DLSS ultra-performance
-    # role (dlss-sys quality mode grid). Same chain_next harness; quality
-    # eval runs on the exact served numeric grid (int8 twin when quantized).
-    try:
-        e4 = el.make_pretrained_upscaler(540, 960, OUT_H, OUT_W)
-        if getattr(e4, "arch", "lite") != "lite":
+        section("upscale_esrgan", _s_esrgan)
 
-            def e4body(state):
-                return chain_next(state, e4(state))
+        def _s_esrgan_pf():
+            ffn = el.make_fast_upscaler(IN_H, IN_W, OUT_H, OUT_W)
+            if getattr(ffn, "arch", None) not in ("tpu4b1", "tpu8", "tpu8w"):
+                return
+
+            def fbody(s):
+                return chain_next(s, ffn(s))
+
+            spf = timed_loop(
+                fbody, jax.device_put(make_input()), max(iters // 4, 3), overhead
+            )
+            state["esrgan_fast_fps"] = round(1.0 / spf, 1)
+            fa = ffn.arch + ("-int8" if getattr(ffn, "quantized", False) else "")
+            log(f"upscale[esrgan-pf] 1080p→4K {state['esrgan_fast_fps']:9.1f} fps (performance learned tier, {fa})")
+
+        section("upscale_esrgan_pf", _s_esrgan_pf)
+
+        def _s_esrgan_x4():
+            nonlocal e4
+            e4 = el.make_pretrained_upscaler(540, 960, OUT_H, OUT_W)
+            if getattr(e4, "arch", "lite") == "lite":
+                e4 = None
+                log("upscale[esrgan-x4] skipped: no x4 checkpoint")
+                return
+
+            def e4body(s):
+                return chain_next(s, e4(s))
 
             x4_in = generate_test_pattern(960, 540)
             spf = timed_loop(
                 e4body, jax.device_put(x4_in), max(iters // 4, 3), overhead
             )
-            extras["esrgan_x4_fps"] = round(1.0 / spf, 1)
-            _a4 = e4.arch + ("-int8" if getattr(e4, "quantized", False) else "")
+            state["esrgan_x4_fps"] = round(1.0 / spf, 1)
+            a4 = e4.arch + ("-int8" if getattr(e4, "quantized", False) else "")
+            log(f"upscale[esrgan-x4] 540p→4K  {state['esrgan_x4_fps']:9.1f} fps (4x learned tier, {a4})")
+
+        section("upscale_esrgan_x4", _s_esrgan_x4)
+        emit()
+
+        def _s_esrgan_quality():
+            if efn is None:
+                return
+            from nu_scaler_tpu.models.data import eval_vs_lanczos3
+
+            # evaluate on the SAME numeric grid the tier serves (int8 twin
+            # when quantized) — _twin_model_fn is also the gates' twin
+            model_fn, kind = _twin_model_fn(1, 2, efn)
+            q = eval_vs_lanczos3(model_fn, scale=2, seeds=(900, 901))
+            state["esrgan_psnr_delta_db_vs_lanczos3"] = round(q["psnr_delta_db"], 2)
+            state["esrgan_ssim_delta_vs_lanczos3"] = round(q["ssim_delta"], 4)
             log(
-                f"upscale[esrgan-x4] 540p→4K  {extras['esrgan_x4_fps']:9.1f} fps "
-                f"(4x learned tier, {_a4})"
+                f"esrgan held-out quality ({kind} grid): {q['net_psnr_db']:.2f} dB "
+                f"vs lanczos3 {q['lanczos3_psnr_db']:.2f} dB "
+                f"(Δ {q['psnr_delta_db']:+.2f} dB, ΔSSIM {q['ssim_delta']:+.4f})"
             )
-            _p4, _s4 = _tr.load_checkpoint(2, e4.arch)
-            _kw4 = {en[0]: en[1] for en in el._ARCH_LADDER["quality"]}.get(
-                e4.arch, dict(stride=4, features=128)
-            )
-            _m4 = el.ESRGANLiteTPU(upscale=4, **_kw4)
-            if getattr(e4, "quantized", False):
-                mf4 = el.make_quant_apply(
-                    _m4, _p4, _tr.load_act_scales(2, e4.arch, _s4)
-                )
-            else:
-                mf4 = jax.jit(lambda x: _m4.apply(_p4, x))
+
+        section("esrgan_quality_eval", _s_esrgan_quality)
+
+        def _s_x4_quality():
+            if e4 is None:
+                return
+            from nu_scaler_tpu.models.data import eval_vs_lanczos3
+
+            mf4, kind = _twin_model_fn(2, 4, e4)
             q4 = eval_vs_lanczos3(mf4, scale=4, seeds=(900, 901))
-            extras["esrgan_x4_psnr_delta_db_vs_lanczos3"] = round(
-                q4["psnr_delta_db"], 2
-            )
+            state["esrgan_x4_psnr_delta_db_vs_lanczos3"] = round(q4["psnr_delta_db"], 2)
+            state["esrgan_x4_ssim_delta_vs_lanczos3"] = round(q4["ssim_delta"], 4)
             log(
-                f"esrgan-x4 held-out quality: {q4['net_psnr_db']:.2f} dB vs "
-                f"lanczos3 {q4['lanczos3_psnr_db']:.2f} dB "
+                f"esrgan-x4 held-out quality ({kind} grid): {q4['net_psnr_db']:.2f} dB "
+                f"vs lanczos3 {q4['lanczos3_psnr_db']:.2f} dB "
                 f"(Δ {q4['psnr_delta_db']:+.2f} dB, ΔSSIM {q4['ssim_delta']:+.4f})"
             )
-    except Exception as e:  # noqa: BLE001
-        log(f"esrgan x4 bench skipped: {e}")
 
-    # headline = the best full-pipeline implementation of the north-star
-    # dataflow; blend-f computes the identical two output frames per step
-    # (upscale bit-exact, blend ±1 on f32 rounding ties) in one fused kernel
-    res_head = res_blend_fused if res_blend_fused["fps"] > res_blend["fps"] else res_blend
-    value = round(res_head["fps"], 1)
-    print(
-        json.dumps(
-            {
-                "metric": "1080p→4K lanczos3 + 2x interp, output frames/sec/chip",
-                "value": value,
-                "unit": "fps",
-                "vs_baseline": round(value / TARGET_FPS, 3),
-                "step_ms": round(res_head["step_ms"], 3),
-                "blend_amortized_xla_fps": round(res_blend["fps"], 1),
-                "blend_pair_upscale_fps": round(res_blend_naive["fps"], 1),
-                "blend_fused_kernel_fps": round(res_blend_fused["fps"], 1),
-                "blend_fused_3x_fps": round(res_blend3x["fps"], 1),
-                "flow_mode_fps": round(res_flow["fps"], 1),
-                "flow_soft_fps": round(res_flow_soft["fps"], 1),
-                "flow_soft_ref_fps": round(res_soft_ref["fps"], 1),
-                "flow_soft_3x_fps": round(res_soft3x["fps"], 1),
-                "flow_soft_3x_ref_fps": round(res_soft3x_ref["fps"], 1),
-                "flow_half_fps": round(res_flow_half["fps"], 1),
-                "perf_interp_fps": round(res_perf["fps"], 1),
-                "live_host_fps": round(res_live["fps"], 2),
-                "live_presented_fps": round(res_live["presented_fps"], 2),
-                "live_presented": res_live["presented"],
-                "live_skipped": res_live["skipped"],
-                "live_output_frames": res_live["output_frames"],
-                "live_delivery": res_live["delivery"],
-                "live_payload_mb_in": res_live["payload_mb_in"],
-                "live_payload_mb_out": res_live["payload_mb_out"],
-                "live_preview_fps": round(res_live_prev["fps"], 2),
-                "live_preview_presented_fps": round(
-                    res_live_prev["presented_fps"], 2
-                ),
-                "live_preview_delivery": res_live_prev["delivery"],
-                "live_full_rgba_fps": round(res_live_rgba["fps"], 2),
-                "live_p50_step_ms": round(res_live["p50_step_ms"], 1),
-                "live_p99_step_ms": round(res_live["p99_step_ms"], 1),
-                "platform": dev.platform,
-                "fidelity_gate": (
-                    "pass" if not gate_failures else "FAIL: " + "; ".join(gate_failures)
-                ),
-                **interp_ref_quality,
-                **extras,
-            }
+        section("esrgan_x4_quality_eval", _s_x4_quality)
+        emit()
+
+    # ---- 4. on-chip fidelity gates ---------------------------------------
+    # every production path PSNR-gated on THIS device (split_bf16 matmuls,
+    # Mosaic trunc packing, int8 requant are exactly what differs on-chip);
+    # heavy twin gates budget-skip with >=240 s of grace, cheap golden gates
+    # always run
+    def _s_gates():
+        run_fidelity_gates(state, gate_failures, budget_left_s=max(left(), 240.0))
+        gates_done[0] = True
+
+    section("fidelity_gates", _s_gates)
+    emit()
+
+    # ---- 5. live pipeline -------------------------------------------------
+    def _live_log(tag: str, res: dict, note: str) -> None:
+        log(
+            f"pipeline[{tag}] {res['fps']:9.1f} out-fps generated / "
+            f"{res['presented_fps']:.1f} presented ({res['delivery']}, "
+            f"{res['payload_mb_in']} MB in + {res['payload_mb_out']} MB/frame out; "
+            f"p50 {res['p50_step_ms']:.1f} / p99 {res['p99_step_ms']:.1f} ms/step, "
+            f"{res['presented']} presented / {res['skipped']} skipped of "
+            f"{res['output_frames']}) — {note}"
         )
-    )
+
+    def _s_live():
+        res = bench_live(n_frames=10 if dev.platform == "tpu" else 4)
+        _live_log("live   ", res, "capture→interp→upscale→present")
+        state.update(
+            live_host_fps=round(res["fps"], 2),
+            live_presented_fps=round(res["presented_fps"], 2),
+            live_presented=res["presented"],
+            live_skipped=res["skipped"],
+            live_output_frames=res["output_frames"],
+            live_delivery=res["delivery"],
+            live_payload_mb_in=res["payload_mb_in"],
+            live_payload_mb_out=res["payload_mb_out"],
+            live_p50_step_ms=round(res["p50_step_ms"], 1),
+            live_p99_step_ms=round(res["p99_step_ms"], 1),
+        )
+
+    section("pipeline_live", _s_live)
+    emit()
+
+    def _s_live_mid():
+        # ONE presented frame per capture tick (the reference GUI's actual
+        # cadence, main.py:1117-1173) — half the link payload per step;
+        # shares every compiled program with the line above
+        res = bench_live(
+            n_frames=10 if dev.platform == "tpu" else 4, deliver_which="mid"
+        )
+        _live_log("live-md", res, "mid-only delivery (reference present cadence)")
+        state["live_mid_only_fps"] = round(res["fps"], 2)
+        state["live_mid_only_presented_fps"] = round(res["presented_fps"], 2)
+
+    section("pipeline_live_mid", _s_live_mid, required=False)
+
+    def _s_live_pv():
+        # preview delivery: the reference GUI only ever presented a
+        # preview-sized QPixmap (main.py:1117-1173) — 4:2:0 at 1080 rows
+        # is the realistic GUI payload (4× fewer bytes than 4K 4:2:0); the
+        # full-res 4:2:0 line above remains the file/stream-sink number
+        res = bench_live(
+            n_frames=10 if dev.platform == "tpu" else 4, preview_h=1080
+        )
+        _live_log("live-pv", res, "preview-resolution delivery")
+        state["live_preview_fps"] = round(res["fps"], 2)
+        state["live_preview_presented_fps"] = round(res["presented_fps"], 2)
+        state["live_preview_delivery"] = res["delivery"]
+
+    section("pipeline_live_pv", _s_live_pv, required=False)
+    emit()
+
+    # ---- 6. MC interpolation tiers ---------------------------------------
+    def _mc(mode: str, key: str, tag: str, note: str = ""):
+        def _s():
+            res = bench_pipeline_retry(mode, max(iters // 4, 3), overhead)
+            state[key] = round(res["fps"], 1)
+            log(f"pipeline[{tag}] {res['fps']:9.1f} out-fps  {res['step_ms']:.3f} ms/step{note}")
+
+        section(f"pipeline_{mode}", _s, required=False)
+        emit()
+
+    _mc("flow_soft", "flow_soft_fps", "hs-soft", " (overlapped-tile warp)")
+    try:
+        from nu_scaler_tpu.models.interp_refine import refine_available
+
+        _have_ref = refine_available()
+    except Exception:  # noqa: BLE001
+        _have_ref = False
+    if _have_ref:
+        _mc(
+            "flow_soft_ref", "flow_soft_ref_fps", "hs-soft-ref",
+            " (soft warp + learned refinement)",
+        )
+
+        def _s_ref_quality():
+            from nu_scaler_tpu.models.data import eval_interp_refinement
+
+            q = eval_interp_refinement(seeds=(900, 901))
+            state["interp_ref_psnr_delta_db_vs_soft"] = round(q["psnr_delta_db"], 2)
+            state["interp_ref_ssim_delta_vs_soft"] = round(q["ssim_delta"], 4)
+            log(
+                f"interp refinement held-out: {q['ref_psnr_db']:.2f} dB vs soft "
+                f"{q['soft_psnr_db']:.2f} dB (Δ {q['psnr_delta_db']:+.2f} dB, "
+                f"ΔSSIM {q['ssim_delta']:+.4f})"
+            )
+
+        section("interp_ref_quality_eval", _s_ref_quality, required=False)
+        emit()
+    _mc("soft3x", "flow_soft_3x_fps", "hs-soft3x", " (3x frame gen, one motion solve)")
+    if _have_ref:
+        _mc(
+            "soft3x_ref", "flow_soft_3x_ref_fps", "hs-soft3x-ref",
+            " (3x frame gen + learned refinement)",
+        )
+    _mc("perf_interp", "perf_interp_fps", "hs-perf")
+
+    # ---- 7. diagnostics (NU_BENCH_FULL=1) --------------------------------
+    if full:
+        def _s_blend_xla():
+            res = bench_pipeline_retry("blend_amortized", iters, overhead)
+            state["blend_amortized_xla_fps"] = round(res["fps"], 1)
+            log(f"pipeline[blend  ] {res['fps']:9.1f} out-fps  {res['step_ms']:.3f} ms/step (amortized)")
+
+        if "blend_amortized_xla_fps" not in state:
+            section("pipeline_blend_amortized", _s_blend_xla, required=False)
+
+        def _s_blend_naive():
+            res = bench_pipeline_retry("blend", iters, overhead)
+            state["blend_pair_upscale_fps"] = round(res["fps"], 1)
+            log(f"pipeline[blend-2x] {res['fps']:9.1f} out-fps  {res['step_ms']:.3f} ms/step (pair-upscale)")
+
+        section("pipeline_blend_pair", _s_blend_naive, required=False)
+        _mc("flow", "flow_mode_fps", "hs-flow")
+        _mc("flow_half", "flow_half_fps", "hs-half")
+
+        def _s_pallas2():
+            from nu_scaler_tpu.kernels.resample_pallas import make_pallas_resampler
+
+            pfn = make_pallas_resampler(IN_H, IN_W, OUT_H, OUT_W, "lanczos3")
+            if pfn is None:
+                return
+
+            def pbody(s):
+                return chain_next(s, pfn(s))
+
+            spf = timed_loop(pbody, jax.device_put(make_input()), iters, overhead)
+            state["pallas_twocall_lanczos3_fps"] = round(1.0 / spf, 1)
+            log(f"upscale[pallas-2call] 1080p→4K {1.0/spf:9.1f} fps (legacy; the fused kernel IS the lanczos3 line)")
+
+        section("upscale_pallas_twocall", _s_pallas2, required=False)
+
+        def _s_live_rgba():
+            # the pre-r4 full-delivery loop: full-res RGBA, every frame
+            # fetched synchronously — the r3 comparison line
+            res = bench_live(
+                n_frames=4 if dev.platform == "tpu" else 2,
+                fmt="rgba", adaptive=False,
+            )
+            state["live_full_rgba_fps"] = round(res["fps"], 2)
+            log(f"pipeline[live-rgba] {res['fps']:7.2f} out-fps (full 4K RGBA, every frame fetched)")
+
+        section("pipeline_live_rgba", _s_live_rgba, required=False)
+
+    # ---- final record -----------------------------------------------------
+    emit(final=True)
     if gate_failures:
         log("FIDELITY GATE FAILURES (exiting non-zero):")
         for f in gate_failures:
@@ -1045,6 +1404,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    if "--write-goldens" in sys.argv:
+        write_golden_cache()
+        sys.exit(0)
     if "--gates" in sys.argv:
         # fidelity gates only (fast validation path; same hard-exit contract)
         _extras: dict = {}

@@ -215,9 +215,15 @@ def separable_resample_ref(img_u8: np.ndarray, out_h: int, out_w: int, algorithm
     wv = filter_weights(img_u8.shape[0], out_h, algorithm).astype(np.float64)
     wh = filter_weights(img_u8.shape[1], out_w, algorithm).astype(np.float64)
     f = unpack_u8(img_u8).astype(np.float64)
-    tmp = np.einsum("oi,iwc->owc", wv, f)
-    out = np.einsum("pw,owc->opc", wh, tmp)
-    return pack_u8_trunc(out.astype(np.float32))
+    h, w, c = f.shape
+    # BLAS GEMMs, not bare einsum: the naive einsum loop runs MINUTES per
+    # 1080p→4K golden (~6e10 f64 MACs) and starved the driver's bench-run
+    # budget (BENCH_r04 rc=124 died inside the fidelity gates). f64
+    # accumulation-order noise (~1e-12 relative) is far below the trunc
+    # packing's own f32 cast.
+    tmp = (wv @ f.reshape(h, w * c)).reshape(out_h, w, c)
+    out = np.tensordot(tmp, wh, axes=([1], [1])).transpose(0, 2, 1)
+    return pack_u8_trunc(np.ascontiguousarray(out).astype(np.float32))
 
 
 # ---------------------------------------------------------------------------
