@@ -70,20 +70,27 @@ from nu_scaler_tpu.models.train import CKPT_ROOT
 CKPT_DIR = os.path.join(CKPT_ROOT, "interp_ref4")
 
 
-def save_checkpoint(params, step: int) -> str:
+def _ckpt_dir(name: str = "interp_ref4") -> str:
+    """Checkpoint dir per net name: "interp_ref4" is THE serving net; other
+    names (e.g. the wide distillation teacher "interp_ref4w") live beside it
+    and are never picked up by the serving graphs."""
+    return os.path.abspath(os.path.join(CKPT_ROOT, name))
+
+
+def save_checkpoint(params, step: int, name: str = "interp_ref4") -> str:
     import orbax.checkpoint as ocp
 
-    path = os.path.abspath(CKPT_DIR)
+    path = _ckpt_dir(name)
     ocp.PyTreeCheckpointer().save(os.path.join(path, str(step)), params, force=True)
     with open(os.path.join(path, "latest.txt"), "w") as f:
         f.write(str(step))
     return path
 
 
-def load_checkpoint():
+def load_checkpoint(name: str = "interp_ref4"):
     import orbax.checkpoint as ocp
 
-    path = os.path.abspath(CKPT_DIR)
+    path = _ckpt_dir(name)
     latest = os.path.join(path, "latest.txt")
     if not os.path.exists(latest):
         return None
@@ -297,14 +304,37 @@ def train(
     width: int = 1920,
     factors: tuple = (2,),
     sources: tuple = ("native",),
+    features: int = 128,
+    blocks: int = 1,
+    name: str = "interp_ref4",
+    distill: tuple | None = None,
+    distill_w: float = 0.5,
 ) -> float:
+    """One training leg. `features`/`blocks`/`name` parameterize the net and
+    its checkpoint dir (the serving net is 128/1 @ "interp_ref4"; a wider
+    teacher trains under its own name and never serves). `distill` =
+    (teacher_name, teacher_features, teacher_blocks) adds
+    distill_w·|student − teacher| against the frozen teacher's refined mid —
+    the recipe that lifted the SR tier (train.py --distill, r4)."""
     rng = np.random.default_rng(seed)
-    model, params = make_model()
+    model, params = make_model(features=features, blocks=blocks)
     start = 0
-    restored = load_checkpoint()
+    restored = load_checkpoint(name)
     if restored is not None:
         params, start = restored
-        print(f"resumed from step {start}", flush=True)
+        print(f"resumed {name} from step {start}", flush=True)
+
+    teacher = None
+    if distill is not None:
+        t_name, t_features, t_blocks = distill
+        t_restored = load_checkpoint(t_name)
+        if t_restored is None:
+            raise SystemExit(f"no teacher checkpoint {t_name!r}")
+        t_params = t_restored[0]
+        t_model, _ = make_model(features=int(t_features), blocks=int(t_blocks))
+        teacher = (t_model, t_params)
+        print(f"distilling from {t_name}@{t_restored[1]} (w={distill_w})",
+              flush=True)
 
     opt = optax.adam(lr)
     opt_state = opt.init(params)
@@ -320,7 +350,12 @@ def train(
         def lf(p):
             mid = xb[..., 6:9]
             pred = mid + model.apply(p, xb)
-            return jnp.mean(jnp.abs(pred - yb))
+            loss = jnp.mean(jnp.abs(pred - yb))
+            if teacher is not None:
+                t_model, t_params = teacher
+                t_pred = mid + jax.lax.stop_gradient(t_model.apply(t_params, xb))
+                loss = loss + distill_w * jnp.mean(jnp.abs(pred - t_pred))
+            return loss
 
         lv, grads = jax.value_and_grad(lf)(params)
         updates, opt_state = opt.update(grads, opt_state, params)
@@ -346,9 +381,80 @@ def train(
                   flush=True)
     print(f"final loss {float(loss):.5f}", flush=True)
     if save:
-        path = save_checkpoint(jax.device_get(params), start + steps)
+        path = save_checkpoint(jax.device_get(params), start + steps, name=name)
         print(f"checkpoint: {path}", flush=True)
     return float(loss)
+
+
+def eval_refine_float(
+    name: str = "interp_ref4",
+    features: int = 128,
+    blocks: int = 1,
+    seeds=(900, 901, 902),
+    frames: int = 5,
+    height: int = 1080,
+    width: int = 1920,
+) -> dict:
+    """Held-out mid-frame quality of ANY named refine checkpoint via the
+    plain float-domain apply (mid + net(A, B, mid)) vs the production soft
+    warp — the teacher-gating eval (the serving eval,
+    data.eval_interp_refinement, only ever sees the "interp_ref4" serving
+    graph). Same protocol: predict odd frames from even neighbors, seeds
+    900+ held out from the training pool's 100.."""
+    from nu_scaler_tpu.models.data import clip_through_video_path, render_clip
+    from nu_scaler_tpu.ops.interpolate import make_interpolator
+    from nu_scaler_tpu.ops.metrics import psnr, ssim
+
+    restored = load_checkpoint(name)
+    if restored is None:
+        raise SystemExit(f"no checkpoint {name!r}")
+    params, step = restored
+    model, _ = make_model(features=features, blocks=blocks)
+
+    @jax.jit
+    def apply_fn(a, b, mid):
+        x = (
+            jnp.concatenate(
+                [a[..., :3], b[..., :3], mid[..., :3]], axis=-1
+            ).astype(jnp.float32)
+            / 255.0
+        )[None]
+        pred = x[..., 6:9] + model.apply(params, x)
+        return jnp.clip(jnp.round(pred[0] * 255.0), 0, 255).astype(jnp.uint8)
+
+    soft_fn = make_interpolator(height, width, "flow_soft")
+    soft_p, soft_s, ref_p, ref_s = [], [], [], []
+    for seed in seeds:
+        clip = clip_through_video_path(
+            render_clip(height, width, frames=frames, seed=seed)
+        )
+        for k in range(1, len(clip) - 1, 2):
+            a = jnp.asarray(clip[k - 1])
+            b = jnp.asarray(clip[k + 1])
+            truth = clip[k]
+            soft = np.asarray(soft_fn(a, b, 0.5))
+            refined = np.asarray(apply_fn(a, b, jnp.asarray(soft)))
+            soft_p.append(psnr(soft, truth))
+            soft_s.append(ssim(soft, truth))
+            ref_p.append(psnr(np.dstack([refined, soft[..., 3:]]), truth))
+            ref_s.append(ssim(np.dstack([refined, soft[..., 3:]]), truth))
+    out = {
+        "name": name,
+        "step": step,
+        "soft_psnr_db": float(np.mean(soft_p)),
+        "soft_ssim": float(np.mean(soft_s)),
+        "ref_psnr_db": float(np.mean(ref_p)),
+        "ref_ssim": float(np.mean(ref_s)),
+        "psnr_delta_db": float(np.mean(ref_p) - np.mean(soft_p)),
+        "ssim_delta": float(np.mean(ref_s) - np.mean(soft_s)),
+    }
+    print(
+        f"{name}@{step}: {out['ref_psnr_db']:.2f} dB / {out['ref_ssim']:.4f} "
+        f"SSIM vs soft {out['soft_psnr_db']:.2f} / {out['soft_ssim']:.4f} "
+        f"(Δ {out['psnr_delta_db']:+.2f} dB / {out['ssim_delta']:+.4f})",
+        flush=True,
+    )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -662,9 +768,32 @@ if __name__ == "__main__":
                          "act_scales.json next to it")
     ap.add_argument("--no-head", action="store_true",
                     help="with --calibrate: leave the head conv in bf16")
+    ap.add_argument("--features", type=int, default=128,
+                    help="net width (the serving net is 128)")
+    ap.add_argument("--blocks", type=int, default=1,
+                    help="residual blocks (the serving net is 1)")
+    ap.add_argument("--name", default="interp_ref4",
+                    help="checkpoint name; non-default names (e.g. the "
+                         "distillation teacher interp_ref4w) never serve")
+    ap.add_argument("--distill-name", default=None,
+                    help="teacher checkpoint name to distill from")
+    ap.add_argument("--distill-features", type=int, default=192)
+    ap.add_argument("--distill-blocks", type=int, default=2)
+    ap.add_argument("--distill-w", type=float, default=0.5)
+    ap.add_argument("--eval", action="store_true",
+                    help="held-out float-domain eval of --name at "
+                         "--features/--blocks vs the soft warp, then exit "
+                         "(teacher gating; the serving eval lives in "
+                         "data.eval_interp_refinement)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.eval:
+        eval_refine_float(
+            name=args.name, features=args.features, blocks=args.blocks,
+            height=args.height, width=args.width,
+        )
+        raise SystemExit(0)
     if args.calibrate:
         restored = load_checkpoint()
         if restored is None:
@@ -680,4 +809,10 @@ if __name__ == "__main__":
         train(steps=args.steps, batch=args.batch, lr=args.lr, seed=args.seed,
               n_clips=args.clips, pool_size=args.pool,
               height=args.height, width=args.width,
-              factors=tuple(args.factors), sources=tuple(args.sources))
+              factors=tuple(args.factors), sources=tuple(args.sources),
+              features=args.features, blocks=args.blocks, name=args.name,
+              distill=(
+                  (args.distill_name, args.distill_features, args.distill_blocks)
+                  if args.distill_name else None
+              ),
+              distill_w=args.distill_w)
