@@ -428,6 +428,13 @@ def bench_live(n_frames: int = 10, warmup: int = 3, fmt: str | None = None,
             buf.write(pipe._fetch(out))
         warm_steps.append(time.perf_counter() - s0)
     step_wall = float(np.median(warm_steps[1:] or warm_steps)) or 1.0
+    # same-day link rate from the fetch-everything warmup (the dev tunnel's
+    # D2H bandwidth varies 15-50 MB/s day to day — the live lines are
+    # link-bound, so the record carries the rate they were measured at)
+    warm_payload_mb = 2.0 * color.payload_bytes(
+        fmt, *(deliver.out_hw if deliver is not None else (OUT_H, OUT_W))
+    ) / 1e6
+    link_mb_s = warm_payload_mb / step_wall if step_wall > 0 else 0.0
     # budget = one fetch-everything step: should_skip's quarter-budget
     # threshold then sits between output 1's elapsed (~0, async dispatch)
     # and output 2's (~one D2H fetch ≈ step_wall/2) — the first output of a
@@ -492,6 +499,7 @@ def bench_live(n_frames: int = 10, warmup: int = 3, fmt: str | None = None,
         "payload_mb_in": round(color.payload_bytes("yuv420", IN_H, IN_W) / 1e6, 2),
         "payload_mb_out": round(color.payload_bytes(fmt, dh, dw) / 1e6, 2),
         "target_fps": round(target_fps, 2),
+        "link_mb_s": round(link_mb_s, 1),
     }
 
 
@@ -1256,7 +1264,7 @@ def main() -> None:
             f"{res['payload_mb_in']} MB in + {res['payload_mb_out']} MB/frame out; "
             f"p50 {res['p50_step_ms']:.1f} / p99 {res['p99_step_ms']:.1f} ms/step, "
             f"{res['presented']} presented / {res['skipped']} skipped of "
-            f"{res['output_frames']}) — {note}"
+            f"{res['output_frames']}; link {res.get('link_mb_s', 0.0):.0f} MB/s) — {note}"
         )
 
     def _s_live():
@@ -1273,6 +1281,7 @@ def main() -> None:
             live_payload_mb_out=res["payload_mb_out"],
             live_p50_step_ms=round(res["p50_step_ms"], 1),
             live_p99_step_ms=round(res["p99_step_ms"], 1),
+            live_link_mb_s=res["link_mb_s"],
         )
 
     section("pipeline_live", _s_live)

@@ -107,7 +107,7 @@ _DUMMY_LIVE = {
     "fps": 5.0, "presented_fps": 3.0, "p50_step_ms": 10.0, "p99_step_ms": 12.0,
     "skipped": 0, "presented": 10, "output_frames": 10,
     "delivery": "yuv420@64x512", "payload_mb_in": 0.1, "payload_mb_out": 0.1,
-    "target_fps": 10.0,
+    "target_fps": 10.0, "link_mb_s": 49.0,
 }
 
 
