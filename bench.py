@@ -434,7 +434,8 @@ def bench_live(n_frames: int = 10, warmup: int = 3, fmt: str | None = None,
     warm_payload_mb = 2.0 * color.payload_bytes(
         fmt, *(deliver.out_hw if deliver is not None else (OUT_H, OUT_W))
     ) / 1e6
-    link_mb_s = warm_payload_mb / step_wall if step_wall > 0 else 0.0
+    fastest = float(min(warm_steps[1:] or warm_steps)) or step_wall
+    link_mb_s = warm_payload_mb / fastest if fastest > 0 else 0.0
     # budget = one fetch-everything step: should_skip's quarter-budget
     # threshold then sits between output 1's elapsed (~0, async dispatch)
     # and output 2's (~one D2H fetch ≈ step_wall/2) — the first output of a
@@ -705,6 +706,7 @@ def run_fidelity_gates(extras: dict, failures: list,
         log(f"fidelity[{key}] skipped: {why}")
 
     def gate(key: str, thresh: float, fn) -> None:
+        t_g = time.perf_counter()
         try:
             val = float(fn())
         except Exception as e:  # noqa: BLE001 — a crashing path is a failure
@@ -716,7 +718,7 @@ def run_fidelity_gates(extras: dict, failures: list,
         ok = val >= thresh
         log(
             f"fidelity[{key:<21}] {val:6.1f} dB  (gate >= {thresh:g}) "
-            f"{'ok' if ok else 'FAIL'}"
+            f"{'ok' if ok else 'FAIL'}  [+{time.perf_counter() - t_g:.0f}s]"
         )
         if not ok:
             failures.append(f"{key}: {val:.1f} dB < {thresh:g} dB gate")
@@ -1008,7 +1010,7 @@ def main() -> None:
       * A cumulative JSON line is (re)printed after every section once the
         headline + classical numbers exist; every line is a superset of the
         previous one with "partial": true until the final line.
-      * An internal wall budget (NU_BENCH_BUDGET_S, default 1350 s) skips
+      * An internal wall budget (NU_BENCH_BUDGET_S, default 1450 s) skips
         remaining optional tiers — recorded under "skipped", not failures —
         so a cold-cache run exits 0 with the full priority prefix.
       * Diagnostic lines (naive pair-upscale, full-res HS flow, legacy
@@ -1018,7 +1020,7 @@ def main() -> None:
         #3).
     """
     t_main0 = time.perf_counter()
-    budget_s = float(os.environ.get("NU_BENCH_BUDGET_S", "1350"))
+    budget_s = float(os.environ.get("NU_BENCH_BUDGET_S", "1450"))
     full = os.environ.get("NU_BENCH_FULL") == "1"
     dev = jax.devices()[0]
     gate_failures: list[str] = []
