@@ -434,8 +434,10 @@ def bench_live(n_frames: int = 10, warmup: int = 3, fmt: str | None = None,
     warm_payload_mb = 2.0 * color.payload_bytes(
         fmt, *(deliver.out_hw if deliver is not None else (OUT_H, OUT_W))
     ) / 1e6
-    fastest = float(min(warm_steps[1:] or warm_steps)) or step_wall
-    link_mb_s = warm_payload_mb / fastest if fastest > 0 else 0.0
+    # approximate: the fetch-everything warmup median; an in-flight async
+    # copy or a compile landing in a warm step skews individual samples, so
+    # read it as same-day order-of-magnitude context (p50/p99 carry truth)
+    link_mb_s = warm_payload_mb / step_wall if step_wall > 0 else 0.0
     # budget = one fetch-everything step: should_skip's quarter-budget
     # threshold then sits between output 1's elapsed (~0, async dispatch)
     # and output 2's (~one D2H fetch ≈ step_wall/2) — the first output of a
